@@ -1,0 +1,97 @@
+package graft.model
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input corpus row — the exact shape mandated by BASELINE.json:15
+  * (Iceberg-style table of Common-Crawl-like web pages). */
+final case class Page(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** docs table row (SURVEY.md §1.4). `dl` = exact token count,
+  * `norm` = SmallFloat-quantized byte, `dlq` = decoded quantized length
+  * (the value BM25 actually consumes — materialized so the relational
+  * path needs no UDF). Partitioned by `segId` (a contiguous docId range,
+  * the analogue of a Lucene segment). */
+final case class DocRow(
+    segId: Int,
+    docId: Long,
+    url: String,
+    lang: String,
+    dl: Int,
+    norm: Byte,
+    dlq: Int)
+
+/** One 128-entry postings block: delta-varint docIds, varint tfs, raw
+  * norm bytes, per-doc delta-varint positions; block-max metadata
+  * (maxTf + minNorm give a float-monotone-safe score upper bound;
+  * maxImpact = tf/(tf+K) maximized over members, for pruning stats). */
+final case class Block(
+    firstDocId: Long,
+    maxDocId: Long,
+    count: Int,
+    maxTf: Int,
+    minNorm: Byte,
+    maxImpact: Float,
+    docs: Array[Byte],
+    tfs: Array[Byte],
+    norms: Array[Byte],
+    positions: Array[Byte])
+
+/** One postings row: a term's postings for one (segment, salt-slice).
+  * Hot terms are split over several salt slices with disjoint, ascending
+  * docId ranges (SURVEY.md §4.4); `df`/`ttf` are partials for this row. */
+final case class PostingsRow(
+    segId: Int,
+    term: String,
+    salt: Int,
+    df: Long,
+    ttf: Long,
+    blocks: Seq[Block])
+
+/** Intermediate SPIMI run: one term's postings from one input partition
+  * (the analogue of one DWPT's in-memory postings at flush,
+  * [U lucene/core/.../index/DocumentsWriterPerThread.java]). */
+final case class Run(
+    partId: Int,
+    segId: Int,
+    term: String,
+    salt: Int,
+    firstDocId: Long,
+    docIds: Array[Long],
+    tfs: Array[Int],
+    norms: Array[Byte],
+    positions: Array[Byte])
+
+final case class CollStats(docCount: Long, sumTotalTermFreq: Long, avgdl: Double)
+
+final case class SegmentInfo(segId: Int, nDocs: Long, minDocId: Long, maxDocId: Long)
+
+/** Deterministic `pages` corpus derived from the driver-generated
+  * `documents.parquet` (FIXTURES.md §1) — pure column expressions, no
+  * UDF, no RNG. */
+object Corpus {
+
+  def pages(spark: SparkSession, sfDir: String): Dataset[Page] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        format_string("https://example.com/%s/%012d", col("source"), col("doc_id"))
+          .as("url"),
+        timestamp_seconds(
+          unix_timestamp(to_timestamp(lit("2025-10-24 00:00:00"))) + col("doc_id"))
+          .as("warc_ts"),
+        concat(
+          lit("<!DOCTYPE html><html><head><title>"),
+          format_string("https://example.com/%s/%012d", col("source"), col("doc_id")),
+          lit("</title></head><body><p>"), col("text"), lit("</p></body></html>"))
+          .cast("binary").as("html"),
+        col("text"),
+        col("lang"))
+      .as[Page]
+  }
+}

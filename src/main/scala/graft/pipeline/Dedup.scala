@@ -1,0 +1,213 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over a
+  * `documents(doc_id, text, …)` table. All hash functions are
+  * deterministic (no runtime RNG) so results are reproducible across
+  * cluster sizes and resumes.
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup is one hash-shuffle on a 16-byte digest, never on the
+  *    raw text;
+  *  - MinHash-LSH and SimHash fan candidate generation out by band
+  *    buckets (equi-join shuffles on short keys) and verify only within
+  *    buckets — the classic sub-quadratic near-dup pipeline;
+  *  - exact n-gram Jaccard is the verification oracle; its shingle
+  *    self-join is quadratic per shared shingle and is used on samples /
+  *    candidate pairs, not the full corpus.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact duplicate groups by content digest: one row per distinct
+    * text, keeping the smallest doc_id (hash groupBy — a single shuffle
+    * on md5, with map-side partial aggregation). */
+  def exactGroups(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("n_docs"))
+      .select("keep_id", "n_docs")
+
+  /** Per-doc exact-dup verdict: (doc_id, keep_id); doc is a duplicate
+    * iff doc_id != keep_id. Window over the digest, rank by doc_id. */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"), md5(col("text")).as("h"))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("h")))
+      .select("doc_id", "keep_id")
+
+  // ---------- deterministic hashing primitives ----------
+
+  /** FNV-1a 64-bit over UTF-8 — stable, seedable, cheap. */
+  def fnv64(s: String, seed: Long = 0xcbf29ce484222325L): Long = {
+    var h = seed
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Word n-gram shingles of an analyzed token array. */
+  def shingles(tokens: Seq[String], n: Int): Seq[String] =
+    if (tokens.length < n) Seq(tokens.mkString(" "))
+    else tokens.sliding(n).map(_.mkString(" ")).toSeq
+
+  // ---------- MinHash + LSH ----------
+
+  /** Universal-hash permutations h_i(x) = (a_i·x + b_i) applied to the
+    * 64-bit shingle fingerprint; min per permutation = signature. */
+  private def minhashSig(shingleHashes: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingleHashes.length) {
+      val x = shingleHashes(i)
+      var j = 0
+      while (j < numHashes) {
+        // deterministic per-permutation odd multiplier + offset
+        val a = 0x9E3779B97F4A7C15L * (2L * j + 1L)
+        val b = 0xC2B2AE3D27D4EB4FL * (j + 1L)
+        val h = a * x + b
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  private val shingleHashUdf = udf { (text: String, n: Int) =>
+    shingles(text.split(' ').toSeq, n).map(fnv64(_)).toArray.distinct
+  }
+  private val minhashUdf = udf { (hs: Array[Long], numHashes: Int) =>
+    minhashSig(hs, numHashes)
+  }
+
+  /** MinHash signatures: (doc_id, sig array<long>). */
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 64,
+                        shingleSize: Int = 3): DataFrame =
+    documents.select(
+      col("doc_id").cast("long").as("doc_id"),
+      minhashUdf(shingleHashUdf(col("text"), lit(shingleSize)), lit(numHashes))
+        .as("sig"))
+
+  /** LSH candidate pairs + exact-Jaccard verification:
+    * band the signature, bucket-join equal bands, then verify candidate
+    * pairs against exact shingle-set Jaccard ≥ threshold.
+    * Returns (a, b, jaccard) with a < b. */
+  def minhashNearDups(documents: DataFrame, numHashes: Int = 64,
+                      bands: Int = 16, shingleSize: Int = 3,
+                      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(documents, numHashes, shingleSize)
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bandKey",
+        hash(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+      .select("doc_id", "band", "bandKey")
+    val cands = sigs.as("l").join(sigs.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bandKey") === col("r.bandKey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    val sh = documents.select(col("doc_id").cast("long").as("doc_id"),
+        shingleHashUdf(col("text"), lit(shingleSize)).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("shA")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shB")), "b")
+      .withColumn("inter", size(array_intersect(col("shA"), col("shB"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("shA")) + size(col("shB")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  // ---------- SimHash ----------
+
+  private val simhashUdf = udf { (tokens: Seq[String]) =>
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** 64-bit SimHash per doc: (doc_id, simhash). */
+  def simhash(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id").cast("long").as("doc_id"),
+      simhashUdf(split(col("text"), " ")).as("simhash"))
+
+  /** SimHash near-dups: Hamming distance ≤ maxDist via 4×16-bit band
+    * bucketing (any pair within distance 3 shares at least one of 4
+    * bands — pigeonhole), then exact popcount verify. */
+  def simhashNearDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(documents)
+    val banded = sh.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("bandKey",
+        concat_ws(":", col("band"),
+          expr("(simhash >> (band * 16)) & 65535")))
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.bandKey") === col("r.bandKey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
+      .distinct()
+    pairs
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+      .orderBy("a", "b")
+  }
+
+  // ---------- exact n-gram Jaccard (verification oracle) ----------
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold via distinct-shingle
+    * self-join (relational; DuckDB-checkable). */
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val sh = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(shingleArrayCol(col("text"), n)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("l").join(sh.as("r"),
+        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("szA")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szB")), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("szA") + col("szB") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b")
+      .orderBy("a", "b")
+  }
+
+  /** Word n-gram shingle array as a pure Column expression (built-ins
+    * only — transform over token indices, codegen-friendly). */
+  def shingleArrayCol(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+}

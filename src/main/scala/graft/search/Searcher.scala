@@ -1,0 +1,276 @@
+package graft.search
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.index.InvertedIndex
+import graft.model.{Block, DocRow, PostingsRow}
+
+/** Per-query immutable context broadcast to executors: collection stats
+  * + per-term global df/ttf (the `CollectionStatistics`/`TermStatistics`
+  * inputs of the reference's Weight tree
+  * [U lucene/core/.../search/IndexSearcher.java#createWeight]). */
+final case class ScoringContext(stats: Bm25Stats,
+                                termDf: Map[String, Long]) extends Serializable {
+  @transient lazy val cache: Array[Float] = BM25.buildCache(stats.avgdl)
+  def weightOf(term: String): Float =
+    termDf.get(term).filter(_ > 0)
+      .map(df => BM25.idf(stats.docCount, df)).getOrElse(0f)
+}
+
+/** Distributed top-k BM25 search over the segment tables (read path,
+  * SURVEY.md §3.B): broadcast query terms + stats, per-segment scorer
+  * (leapfrog / WAND with block-max skipping) emitting at most k
+  * candidates per segment, then a global TakeOrdered merge — the
+  * IndexSearcher → TopScoreDocCollector → TopDocs.merge chain collapsed
+  * into one Spark plan [U …/search/TopScoreDocCollector.java,
+  * TopDocs#merge, WANDScorer.java]. Per-segment top-k ⊇ global top-k
+  * members because scores depend only on broadcast global stats. */
+final class Searcher(idx: InvertedIndex) extends Serializable {
+  import idx.spark.implicits._
+
+  private def context(q: Query): ScoringContext = {
+    val terms = Query.collectTerms(q)
+    val dfMap: Map[String, Long] =
+      if (terms.isEmpty) Map.empty
+      else idx.termStats.filter(col("term").isin(terms: _*))
+        .select("term", "df").as[(String, Long)].collect().toMap
+    ScoringContext(idx.stats, dfMap)
+  }
+
+  /** Top-k hits as (rank, docId, url, score), rank-identical to the
+    * reference's TopScoreDocCollector ordering (score desc, docId asc). */
+  def topK(q: Query, k: Int): DataFrame = {
+    val hits = scoredHits(q, k).toDF("docId", "score")
+      .orderBy(desc("score"), asc("docId")).limit(k)
+    // enrich winners with stored fields — the GET_FIELDS phase of the
+    // reference's two-phase distributed search (broadcast the tiny
+    // winner set against the big docs table, never the reverse)
+    idx.docs.select("docId", "url")
+      .join(broadcast(hits), "docId")
+      .orderBy(desc("score"), asc("docId"))
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score"), asc("docId"))).as("rank"),
+        col("docId"), col("url"), col("score"))
+  }
+
+  /** All scored hits of `q`, unranked (k caps per-segment emission when
+    * > 0; pass k <= 0 for exhaustive evaluation). */
+  def scoredHits(q: Query, k: Int): Dataset[(Long, Float)] = {
+    val ctx = context(q)
+    val bcCtx = idx.spark.sparkContext.broadcast(ctx)
+    val bcQ = idx.spark.sparkContext.broadcast(q)
+    val terms = Query.collectTerms(q)
+    if (terms.isEmpty && !Query.needsDocs(q)) return idx.spark.emptyDataset[(Long, Float)]
+    val rows =
+      if (terms.isEmpty) idx.postings.limit(0)
+      else idx.postings.filter(col("term").isin(terms: _*))
+    val kk = k
+    if (Query.needsDocs(q)) {
+      val docsLite = idx.docs.select("segId", "docId", "lang").as[(Int, Long, String)]
+      rows.groupByKey(_.segId)
+        .cogroup(docsLite.groupByKey(_._1)) { (segId, ps, ds) =>
+          SegmentScorer.score(bcQ.value, bcCtx.value, ps, Some(ds), kk)
+        }
+    } else {
+      rows.groupByKey(_.segId).flatMapGroups { (segId, ps) =>
+        SegmentScorer.score(bcQ.value, bcCtx.value, ps, None, kk)
+      }
+    }
+  }
+}
+
+/** Executor-side per-segment evaluation. */
+object SegmentScorer {
+
+  /** Score one segment's postings for `q`; emits at most k hits
+    * (k <= 0 → all hits). `docsIt` present only for attribute filters. */
+  def score(q: Query, ctx: ScoringContext,
+            postings: Iterator[PostingsRow],
+            docsIt: Option[Iterator[(Int, Long, String)]],
+            k: Int): Iterator[(Long, Float)] = {
+    // term → salt-ordered concatenated blocks
+    val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingsRow]]
+    postings.foreach { r =>
+      byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r
+    }
+    if (byTerm.isEmpty && docsIt.isEmpty) return Iterator.empty
+    val termBlocks: Map[String, IndexedSeq[Block]] = byTerm.iterator.map {
+      case (t, rows) => t -> rows.sortBy(_.salt).flatMap(_.blocks).toIndexedSeq
+    }.toMap
+
+    // attribute bitsets (lang) — 1 bit per segment doc
+    val langBits: Map[String, (java.util.BitSet, Long)] = docsIt match {
+      case None => Map.empty
+      case Some(it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Map.empty
+        else {
+          val minDoc = rows.iterator.map(_._2).min
+          val byLang = mutable.HashMap.empty[String, java.util.BitSet]
+          rows.foreach { case (_, docId, lang) =>
+            byLang.getOrElseUpdate(lang, new java.util.BitSet())
+              .set((docId - minDoc).toInt)
+          }
+          byLang.iterator.map { case (l, b) => l -> (b, minDoc) }.toMap
+        }
+    }
+    if (byTerm.isEmpty && Query.collectTerms(q).nonEmpty) {
+      // terms exist in the query but none in this segment: a pure-attr
+      // query would still match; scored queries need at least one term
+      if (!pureFilter(q)) return Iterator.empty
+    }
+
+    val scorer = compile(q, ctx, termBlocks, langBits)
+
+    q match {
+      case BoolQ(must, should, Nil, Nil, mm)
+        if must.isEmpty && should.nonEmpty && k > 0 &&
+          should.forall(_.isInstanceOf[TermQ]) =>
+        wandTopK(should.map(s => termScorer(s.asInstanceOf[TermQ].term, ctx, termBlocks)).toIndexedSeq,
+          math.max(mm, 1), k)
+      case TermQ(_) if k > 0 =>
+        termTopK(scorer.asInstanceOf[TermScorer], k)
+      case _ => exhaustive(scorer, k)
+    }
+  }
+
+  private def pureFilter(q: Query): Boolean = q match {
+    case AttrQ(_, _) => true
+    case b: BoolQ =>
+      (b.must ++ b.should ++ b.filter).forall(pureFilter) && b.mustNot.forall(pureFilter)
+    case _ => false
+  }
+
+  private def termScorer(t: String, ctx: ScoringContext,
+                         blocks: Map[String, IndexedSeq[Block]]): TermScorer =
+    new TermScorer(blocks.getOrElse(t, IndexedSeq.empty), ctx.weightOf(t), ctx.cache)
+
+  def compile(q: Query, ctx: ScoringContext,
+              blocks: Map[String, IndexedSeq[Block]],
+              langBits: Map[String, (java.util.BitSet, Long)]): DocScorer = q match {
+    case TermQ(t) => termScorer(t, ctx, blocks)
+    case PhraseQ(ts) =>
+      // weight = Σ constituent idfs, float-accumulated in phrase order
+      var w = 0f
+      ts.foreach(t => w += ctx.weightOf(t))
+      if (ts.exists(t => !blocks.contains(t))) new EmptyScorer
+      else new PhraseScorer(ts.map(t => termScorer(t, ctx, blocks)).toIndexedSeq, w, ctx.cache)
+    case AttrQ("lang", v) =>
+      langBits.get(v) match {
+        case Some((bits, minDoc)) => new BitsetScorer(bits, minDoc)
+        case None => new EmptyScorer
+      }
+    case AttrQ(name, _) =>
+      sys.error(s"unsupported attribute filter: $name")
+    case BoolQ(must, should, mustNot, filt, mm) =>
+      new BoolScorer(
+        must.map(compile(_, ctx, blocks, langBits)).toIndexedSeq,
+        filt.map(compile(_, ctx, blocks, langBits)).toIndexedSeq,
+        should.map(compile(_, ctx, blocks, langBits)).toIndexedSeq,
+        mustNot.map(compile(_, ctx, blocks, langBits)).toIndexedSeq,
+        mm)
+  }
+
+  /** Single-term top-k with block-max skipping: once the heap is full,
+    * whole blocks whose bound can't beat the threshold are never decoded
+    * [U …/search/ImpactsDISI.java]. */
+  private def termTopK(ts: TermScorer, k: Int): Iterator[(Long, Float)] = {
+    val heap = new TopKHeap(k)
+    var d = ts.nextDoc()
+    while (d != Scorers.DONE) {
+      heap.insert(d, ts.score())
+      d = if (heap.isFull) ts.nextCompetitive(heap.threshold) else ts.nextDoc()
+    }
+    heap.results().iterator
+  }
+
+  /** WAND over term disjunctions [U …/search/WANDScorer.java; Broder et
+    * al. CIKM'03]: sort by current doc, pick the pivot where cumulative
+    * score bounds first exceed the heap threshold, fully evaluate only
+    * pivot-aligned docs. Upper bounds go through the same float kernel
+    * as real scores, so pruning is exact. */
+  private def wandTopK(scorers0: IndexedSeq[TermScorer], mm: Int,
+                       k: Int): Iterator[(Long, Float)] = {
+    val heap = new TopKHeap(k)
+    val scorers = scorers0.filter(_.cost > 0).toArray
+    if (scorers.length < mm || scorers.isEmpty) return Iterator.empty
+    scorers.foreach(_.nextDoc())
+    val byDoc = scorers.clone()
+
+    while (true) {
+      java.util.Arrays.sort(byDoc, Ordering.by((s: TermScorer) => s.doc))
+      // tie-safe threshold: a candidate tying the threshold can still
+      // win on docId, so pivot on bound >= threshold
+      val theta = heap.threshold
+      var acc = 0f
+      var pivot = -1
+      var i = 0
+      while (pivot < 0 && i < byDoc.length) {
+        acc += byDoc(i).maxScore
+        if (acc >= theta && byDoc(i).doc != Scorers.DONE) pivot = i
+        i += 1
+      }
+      if (pivot < 0) return heap.results().iterator
+      val pivotDoc = byDoc(pivot).doc
+      if (pivotDoc == Scorers.DONE) return heap.results().iterator
+      if (byDoc(0).doc == pivotDoc) {
+        // all scorers up to pivot sit on pivotDoc (or can be advanced)
+        var matches = 0
+        var j = 0
+        while (j < scorers.length) {
+          val s = scorers(j)
+          if (s.doc < pivotDoc && s.doc != Scorers.DONE) s.advance(pivotDoc)
+          if (s.doc == pivotDoc) matches += 1
+          j += 1
+        }
+        if (matches >= mm) {
+          // sum in ORIGINAL clause order for float determinism
+          var sc = 0f
+          var c = 0
+          while (c < scorers.length) {
+            if (scorers(c).doc == pivotDoc) sc += scorers(c).score()
+            c += 1
+          }
+          heap.insert(pivotDoc, sc)
+        }
+        var j2 = 0
+        while (j2 < scorers.length) {
+          if (scorers(j2).doc == pivotDoc) scorers(j2).nextDoc()
+          j2 += 1
+        }
+      } else {
+        // advance the earliest scorer(s) up to the pivot doc
+        var j = 0
+        while (j < byDoc.length && byDoc(j).doc < pivotDoc) {
+          byDoc(j).advance(pivotDoc)
+          j += 1
+        }
+      }
+    }
+    heap.results().iterator // unreachable; loop exits via returns
+  }
+
+  private def exhaustive(s: DocScorer, k: Int): Iterator[(Long, Float)] = {
+    if (k > 0) {
+      val heap = new TopKHeap(k)
+      var d = s.nextDoc()
+      while (d != Scorers.DONE) {
+        heap.insert(d, s.score())
+        d = s.nextDoc()
+      }
+      heap.results().iterator
+    } else {
+      val out = mutable.ArrayBuffer.empty[(Long, Float)]
+      var d = s.nextDoc()
+      while (d != Scorers.DONE) {
+        out += ((d, s.score()))
+        d = s.nextDoc()
+      }
+      out.iterator
+    }
+  }
+}
