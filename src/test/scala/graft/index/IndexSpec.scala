@@ -1,0 +1,135 @@
+package graft.index
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+import graft.model.Page
+import graft.search._
+import graft.util.VarInt
+
+import org.apache.spark.sql.Dataset
+
+/** Exact postings/stats assertions on a hand-checkable mini corpus
+  * (FIXTURES.md §3), block/salting invariants, and the CheckIndex audit. */
+class IndexSpec extends SparkSpec {
+
+  private def mkPages(texts: Seq[String]): Dataset[Page] = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) =>
+      Page(f"https://t/$i%04d", java.sql.Timestamp.valueOf("2025-10-24 00:00:00"),
+        s"<p>$t</p>".getBytes, t, if (i % 2 == 0) "en" else "de")
+    }.toDS()
+  }
+
+  private val miniTexts = Seq(
+    "spark join",              // doc0
+    "spark spark merge",       // doc1
+    "the the the spark",       // doc2
+    "merge sort window",       // doc3
+    "join join batch batch",   // doc4
+    "the quick spark join")    // doc5
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name").toString
+    d
+  }
+
+  private def decodeAll(r: graft.model.PostingsRow): Seq[(Long, Int, Seq[Int])] =
+    r.blocks.flatMap { b =>
+      val docs = VarInt.decodeDeltas(b.docs, b.count, b.firstDocId)
+      val tfs = VarInt.decodeInts(b.tfs, b.count)
+      val pos = VarInt.decodePositions(b.positions, tfs)
+      docs.indices.map(i => (docs(i), tfs(i), pos(i).toSeq))
+    }
+
+  test("mini corpus: exact postings, df/ttf, norms") {
+    val idx = IndexBuilder.build(spark, mkPages(miniTexts), tmpDir("mini"),
+      IndexConfig(numPartitions = 3, partsPerSegment = 1, hotTermDf = 100))
+    import idx.spark.implicits._
+
+    val postings = idx.postings.collect()
+      .groupBy(_.term).view.mapValues(_.sortBy(r => (r.segId, r.salt))
+        .flatMap(decodeAll).toSeq).toMap
+
+    // url order == insertion order here (zero-padded ids)
+    assert(postings("spark") ===
+      Seq((0L, 1, Seq(0)), (1L, 2, Seq(0, 1)), (2L, 1, Seq(3)), (5L, 1, Seq(2))))
+    assert(postings("join") ===
+      Seq((0L, 1, Seq(1)), (4L, 2, Seq(0, 1)), (5L, 1, Seq(3))))
+    assert(postings("the") === Seq((2L, 3, Seq(0, 1, 2)), (5L, 1, Seq(0))))
+    assert(postings("batch") === Seq((4L, 2, Seq(2, 3))))
+
+    val stats = idx.termStats.as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(stats("spark") === ((4L, 5L)))
+    assert(stats("the") === ((2L, 4L)))
+    assert(stats("join") === ((3L, 4L)))
+    assert(idx.stats.docCount === 6L)
+    assert(idx.stats.sumTotalTermFreq === miniTexts.map(_.split(' ').length).sum)
+
+    val norms = idx.docs.collect().map(d => d.docId -> d.dl).toMap
+    assert(norms === Map(0L -> 2, 1L -> 3, 2L -> 4, 3L -> 3, 4L -> 4, 5L -> 4))
+
+    assert(CheckIndex.audit(idx).isEmpty)
+  }
+
+  test("salted merge ≡ unsalted merge (skew corpus, every doc has hot term)") {
+    val texts = (0 until 200).map(i => s"the filler$i common the")
+    val unsalted = IndexBuilder.build(spark, mkPages(texts), tmpDir("unsalted"),
+      IndexConfig(numPartitions = 8, partsPerSegment = 8, hotTermDf = Long.MaxValue))
+    val salted = IndexBuilder.build(spark, mkPages(texts), tmpDir("salted"),
+      IndexConfig(numPartitions = 8, partsPerSegment = 8, hotTermDf = 10, numSalts = 4))
+
+    def flat(idx: InvertedIndex, term: String) =
+      idx.postings.collect().filter(_.term == term)
+        .sortBy(r => (r.segId, r.salt)).flatMap(decodeAll).toSeq
+
+    assert(flat(salted, "the") === flat(unsalted, "the"))
+    assert(flat(salted, "common") === flat(unsalted, "common"))
+    // hot term really was salted into multiple rows
+    assert(salted.postings.collect().count(_.term == "the") > 1)
+    assert(CheckIndex.audit(salted).isEmpty)
+
+    // and queries give identical results on both layouts
+    val q = Query.and("the", "common")
+    val a = new Searcher(unsalted).topK(q, 10).collect().map(r => (r.getLong(1), r.getFloat(3))).toSeq
+    val b = new Searcher(salted).topK(q, 10).collect().map(r => (r.getLong(1), r.getFloat(3))).toSeq
+    assert(a === b)
+  }
+
+  test("multi-block postings (block size respected, block-max sane)") {
+    // one term in >128 docs forces multiple blocks per row
+    val texts = (0 until 300).map(i => s"common word$i")
+    val idx = IndexBuilder.build(spark, mkPages(texts), tmpDir("blocks"),
+      IndexConfig(numPartitions = 2, partsPerSegment = 2, blockSize = 128))
+    val rows = idx.postings.collect().filter(_.term == "common")
+    val blocks = rows.sortBy(r => (r.segId, r.salt)).flatMap(_.blocks)
+    assert(blocks.length === 3) // 300 docs at blockSize 128 → 128+128+44
+    assert(blocks.map(_.count).sum === 300)
+    assert(blocks.forall(_.count <= 128))
+    assert(CheckIndex.audit(idx).isEmpty)
+  }
+
+  test("resume: completed stages are skipped, result identical") {
+    val dir = tmpDir("resume")
+    val pages = mkPages(miniTexts)
+    val idx1 = IndexBuilder.build(spark, pages, dir,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    val docsStamp = Files.getLastModifiedTime(
+      Path.of(dir, "docs", "_SUCCESS")).toMillis
+    val postingsBefore = idx1.postings.collect().sortBy(r => (r.segId, r.term, r.salt))
+
+    // simulate a crash AFTER docs/termstats/postings but BEFORE commit:
+    // delete manifest + lineage success marker
+    Files.delete(Path.of(dir, "manifest.json"))
+    Files.delete(Path.of(dir, "lineage", "_SUCCESS"))
+    val idx2 = IndexBuilder.build(spark, pages, dir,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    // docs stage not rerun
+    assert(Files.getLastModifiedTime(Path.of(dir, "docs", "_SUCCESS")).toMillis === docsStamp)
+    val postingsAfter = idx2.postings.collect().sortBy(r => (r.segId, r.term, r.salt))
+    assert(postingsAfter.map(_.term).toSeq === postingsBefore.map(_.term).toSeq)
+    assert(postingsAfter.flatMap(decodeAll).toSeq === postingsBefore.flatMap(decodeAll).toSeq)
+    assert(CheckIndex.audit(idx2).isEmpty)
+  }
+}

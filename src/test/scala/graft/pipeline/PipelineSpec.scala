@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup / ANN / text-stats operator tests: planted duplicates are
+  * found, LSH candidates ⊇ verified near-dups, ANN-LSH recall vs brute
+  * force, multimodal plumbing shape. */
+class PipelineSpec extends SparkSpec {
+
+  private def docsDf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  private val base = "spark builds an inverted index with posting lists and block max scores"
+  private val corpus: Seq[String] = Seq(
+    base,                                                     // 0
+    base,                                                     // 1 exact dup of 0
+    base.replace("block max", "blockmax wand"),               // 2 near dup of 0
+    "totally different text about training data pipelines at scale",  // 3
+    "the quick brown fox jumps over the lazy dog every day",  // 4
+    base + " plus a small tail")                              // 5 near dup of 0
+
+  test("exact dedup finds planted exact duplicates") {
+    val g = Dedup.exactDedup(docsDf(corpus)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) === 0L) // dup points at keeper
+    assert(g(0L) === 0L)
+    assert(g(3L) === 3L)
+  }
+
+  test("ngram jaccard finds planted near-dups, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docsDf(corpus), n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 5L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash-LSH near-dups ⊆-verified and find planted dups") {
+    val got = Dedup.minhashNearDups(docsDf(corpus), threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))
+    assert(got.contains((0L, 5L)))
+    // verification step guarantees: every reported pair has true
+    // jaccard >= threshold (compare against exact pairs)
+    val exact = Dedup.ngramJaccardPairs(docsDf(corpus), n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+  }
+
+  test("simhash: identical texts identical hash; dup pair surfaced") {
+    val sh = Dedup.simhash(docsDf(corpus)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    val pairs = Dedup.simhashNearDups(docsDf(corpus), maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ANN: LSH recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val brute = Ann.bruteTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // rank 1 of each query must be the query itself (cosine=1)
+    Ann.bruteTopK(emb, q, 5).collect().filter(_.getInt(1) == 1)
+      .foreach(r => assert(r.getLong(0) === r.getLong(2)))
+    val lsh = Ann.lshTopK(emb, q, 5, dim = 64, numPlanes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.25, s"LSH recall $recall too low") // 4 planes, 1 probe
+  }
+
+  test("text stats: counts and quality bounded") {
+    val df = docsDf(corpus)
+    val counts = TextStats.countingStats(df).collect()
+    counts.foreach { r =>
+      assert(r.getLong(1) > 0) // n_tokens
+      assert(r.getLong(2) > 0) // n_chars
+    }
+    val q = TextStats.qualityScore(df).collect()
+    q.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("lang id heuristic on distinctive samples") {
+    assert(TextStats.langIdOf("the cat and the dog are in the house") === "en")
+    assert(TextStats.langIdOf("der Hund und die Katze sind schön") === "de")
+    assert(TextStats.langIdOf("这是一个中文句子，我们在这里") === "zh")
+    assert(TextStats.langIdOf("") === "und")
+  }
+
+  test("multimodal plumbing: deterministic features over binary column") {
+    import spark.implicits._
+    val media = MultiModal.mediaFromPages(spark, "/root/testdata/sf0.001").limit(20)
+    val feats = MultiModal.extractFeatures(spark, media).collect()
+    assert(feats.length === 20)
+    feats.foreach { f =>
+      assert(f.features.length === 8)
+      assert(f.n_bytes > 0)
+      assert(f.digest.length === 32)
+    }
+    // determinism
+    val feats2 = MultiModal.extractFeatures(spark, media).collect()
+    assert(feats.sortBy(_.media_id).map(_.digest).toSeq ===
+      feats2.sortBy(_.media_id).map(_.digest).toSeq)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.SparkEntry
+import graft.index.CheckIndex
+import graft.model.Corpus
+
+/** Rank- AND float32-score-identity of the distributed scorer path
+  * against the SpecOracle on the sf0.001 corpus, for the full reference
+  * query set (FIXTURES.md §4); per-term df/ttf and collection-stats
+  * equality (BASELINE.json north_star pass/fail criteria); agreement of
+  * the relational path's ranks with the scorer path. */
+class SearchSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val idx = SparkEntry.index(spark, sfDir)
+  private lazy val searcher = new Searcher(idx)
+  private lazy val oracle = new SpecOracle(
+    Corpus.pages(spark, sfDir).collect().toSeq.map(p => (p.url, p.text, p.lang)))
+
+  /** The reference query set (FIXTURES.md §4). */
+  private val querySet: Seq[(String, Query)] = Seq(
+    "q01 term spark" -> TermQ("spark"),
+    "q02 term the (hot)" -> TermQ("the"),
+    "q03 term absent" -> TermQ("zzz_absent"),
+    "q04 and spark join" -> Query.and("spark", "join"),
+    "q05 and spark the merge" -> Query.and("spark", "the", "merge"),
+    "q06 or window batch" -> Query.or("window", "batch"),
+    "q07 or-mm2 sort merge window" -> Query.orMM(2, "sort", "merge", "window"),
+    "q08 spark -merge" -> Query.not("spark", "merge"),
+    "q09 spark filter lang:en" -> BoolQ(must = Seq(TermQ("spark")),
+      filter = Seq(AttrQ("lang", "en"))),
+    "q10 phrase 'batch batch'" -> PhraseQ(Seq("batch", "batch")))
+
+  test("rank + exact float32 score identity vs SpecOracle, k=10") {
+    querySet.foreach { case (name, q) =>
+      val engine = searcher.topK(q, 10).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getFloat(3))).toSeq
+      val expected = oracle.topK(q, 10)
+      assert(engine === expected, s"mismatch on $name")
+    }
+  }
+
+  test("relational path ranks == scorer path ranks (url keys)") {
+    val rel = new RelationalPath(idx)
+    val urlOf = idx.docs.collect().map(d => d.docId -> d.url).toMap
+    // compare via doc_id: map scorer docId → doc_id via url suffix
+    def scorerDocIds(q: Query): Seq[Long] =
+      searcher.topK(q, 10).collect().map(_.getLong(1))
+        .map(d => urlOf(d).substring(urlOf(d).lastIndexOf('/') + 1).toLong).toSeq
+    def relDocIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(1)).toSeq
+
+    assert(scorerDocIds(TermQ("spark")) === relDocIds(rel.termTopK("spark", 10)))
+    assert(scorerDocIds(TermQ("the")) === relDocIds(rel.termTopK("the", 10)))
+    assert(scorerDocIds(Query.and("spark", "join")) ===
+      relDocIds(rel.andTopK(Seq("spark", "join"), 10)))
+    assert(scorerDocIds(Query.and("spark", "the", "merge")) ===
+      relDocIds(rel.andTopK(Seq("spark", "the", "merge"), 10)))
+    assert(scorerDocIds(Query.or("window", "batch")) ===
+      relDocIds(rel.orTopK(Seq("window", "batch"), 1, 10)))
+    assert(scorerDocIds(Query.orMM(2, "sort", "merge", "window")) ===
+      relDocIds(rel.orTopK(Seq("sort", "merge", "window"), 2, 10)))
+    assert(scorerDocIds(Query.not("spark", "merge")) ===
+      relDocIds(rel.notTopK("spark", "merge", 10)))
+    assert(scorerDocIds(BoolQ(must = Seq(TermQ("spark")),
+      filter = Seq(AttrQ("lang", "en")))) ===
+      relDocIds(rel.filterTopK("spark", "en", 10)))
+  }
+
+  test("per-term df/ttf equality vs SpecOracle for EVERY term") {
+    import idx.spark.implicits._
+    val stats = idx.termStats.as[(String, Long, Long)].collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (t, df, ttf) =>
+      assert(df === oracle.df(t), s"df($t)")
+      assert(ttf === oracle.ttf(t), s"ttf($t)")
+    }
+    assert(stats.map(_._1).toSet === oracle.postings.keySet)
+  }
+
+  test("collection stats equality") {
+    assert(idx.stats.docCount === oracle.docCount)
+    assert(idx.stats.sumTotalTermFreq === oracle.sumTotalTermFreq)
+  }
+
+  test("phrase matching docs identical to oracle") {
+    val engine = searcher.scoredHits(PhraseQ(Seq("batch", "batch")), -1)
+      .collect().map(_._1).sorted.toSeq
+    assert(engine === oracle.matching(PhraseQ(Seq("batch", "batch"))))
+  }
+
+  test("exhaustive disjunction hits == oracle matching set") {
+    val q = Query.or("window", "batch")
+    val engine = searcher.scoredHits(q, -1).collect().toMap
+    val expected = oracle.matching(q)
+    assert(engine.keySet === expected.toSet)
+    expected.foreach { d =>
+      assert(engine(d) === oracle.scoreDoc(q, d).get, s"score of doc $d")
+    }
+  }
+
+  test("CheckIndex audit clean on sf0.001") {
+    assert(CheckIndex.audit(idx).isEmpty)
+  }
+}
