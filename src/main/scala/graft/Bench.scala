@@ -1,24 +1,116 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.model.Corpus
+import graft.search.{Query, Searcher, TermQ, PhraseQ}
+
+/** Benchmark harness (driver contract): build the index over
+  * SPARK_GRAFT_SF_DIR (scaled ×SPARK_GRAFT_REPEAT) and run the
+  * reference query set through the scorer path; prints ONE JSON line
+  * with per-query seconds plus build throughput and latency
+  * percentiles. Set SPARK_GRAFT_SCALING=1 to run the same build at
+  * local[8] and local[32] and report scaling efficiency
+  * (the sandbox proxy for N vs 4N executors, BASELINE.md). */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private val querySet: Seq[(String, Query)] = Seq(
+    "q01_term" -> TermQ("spark"),
+    "q02_term_hot" -> TermQ("the"),
+    "q03_term_absent" -> TermQ("zzz_absent"),
+    "q04_and" -> Query.and("spark", "join"),
+    "q05_and3" -> Query.and("spark", "the", "merge"),
+    "q06_or" -> Query.or("window", "batch"),
+    "q07_or_mm2" -> Query.orMM(2, "sort", "merge", "window"),
+    "q08_not" -> Query.not("spark", "merge"),
+    "q09_filter" -> graft.search.BoolQ(must = Seq(TermQ("spark")),
+      filter = Seq(graft.search.AttrQ("lang", "en"))),
+    "q10_phrase" -> PhraseQ(Seq("batch", "batch")))
+
+  private def newSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def rmrf(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+  }
+
+  /** Timed fresh build; returns (seconds, docCount). */
+  private def timedBuild(spark: SparkSession, sfDir: String, repeat: Int,
+                         dir: String): (Double, Long) = {
+    rmrf(dir)
+    val pages = Corpus.pagesRepeated(spark, sfDir, repeat)
+    val t0 = System.nanoTime()
+    val idx = IndexBuilder.build(spark, pages, dir,
+      IndexConfig(numPartitions = 64, partsPerSegment = 8,
+        hotTermDf = 2000, numSalts = 4))
+    ((System.nanoTime() - t0) / 1e9, idx.stats.docCount)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "8").toInt
+    val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "0") == "1"
+    val benchRoot = "/root/repo/target/bench-index"
+
+    if (scaling) {
+      // same input, same partitioning — only executor-thread count varies
+      val spark8 = newSession(8)
+      val (t8, n) = timedBuild(spark8, sfDir, repeat, s"$benchRoot/scale8")
+      spark8.stop()
+      val spark32 = newSession(32)
+      val (t32, _) = timedBuild(spark32, sfDir, repeat, s"$benchRoot/scale32")
+      spark32.stop()
+      val eff = (t8 / t32) / 4.0
+      println(f"""{"metric":"scaling","value":$eff%.4f,"unit":"efficiency","docs":$n,"t8":$t8%.2f,"t32":$t32%.2f,"docsPerSec8":${n / t8}%.1f,"docsPerSec32":${n / t32}%.1f,"sf":"$sfDir"}""")
+      return
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val spark = newSession(cpus)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    val (buildSec, docCount) = timedBuild(spark, sfDir, repeat, s"$benchRoot/main$cpus")
+    results += "build" -> buildSec
+    // warm index (BASELINE.md: latency measured on a warm index — the
+    // reference's warm-searcher serving mode)
+    val idx = graft.index.InvertedIndex.open(spark, s"$benchRoot/main$cpus").warm()
+    val searcher = new Searcher(idx)
+
+    // warm once (parquet footers, code paths), then measure
+    querySet.foreach { case (_, q) => searcher.topK(q, 10).collect() }
+    val perQuery = querySet.map { case (name, q) =>
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        searcher.topK(q, 10).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      results += name -> times(times.length / 2) // median
+      times(times.length / 2)
+    }
+    val sortedQ = perQuery.sorted
+    val p50 = sortedQ(sortedQ.length / 2)
+    val p99 = sortedQ.last
+    val total = results.values.sum
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$docCount,"buildDocsPerSec":${docCount / buildSec}%.1f,"queryP50":$p50%.4f,"queryP99":$p99%.4f,"cpus":$cpus,"repeat":$repeat}""")
     spark.stop()
   }
 }

@@ -33,7 +33,7 @@ object SparkEntry {
       val dir = s"/root/repo/target/gindex/$FormatVersion/$name"
       IndexBuilder.build(spark, Corpus.pages(spark, sfDir), dir,
         IndexConfig(numPartitions = 8, partsPerSegment = 2,
-          hotTermDf = 300, numSalts = 4))
+          hotTermDf = 300, numSalts = 4, hotSampleRate = 1.0))
     })
 
   private def rel(spark: SparkSession, sfDir: String): RelationalPath =

@@ -1,7 +1,5 @@
 package graft.analysis
 
-import com.ibm.icu.text.{BreakIterator, RuleBasedBreakIterator}
-import com.ibm.icu.util.ULocale
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -12,7 +10,8 @@ import org.apache.spark.sql.functions._
   * Tokenization re-creates the behavior of the reference's
   * `StandardTokenizer` (JFlex UAX#29 word-break grammar, maxTokenLength
   * 255) [U lucene/core/.../analysis/standard/StandardTokenizer.java]
-  * using ICU4J's UAX#29 word BreakIterator (icu4j ships with Spark).
+  * with a hand-rolled UAX#29-subset scanner (see scanTokens — chosen
+  * over ICU's BreakIterator, which plateaued under thread scaling).
   * Lowercase + stop filtering are applied with Spark BUILT-IN array
   * functions (codegen'd), not UDFs; only the tokenizer itself is a UDF
   * (it is build-time only — per-doc, not per-query).
@@ -33,33 +32,81 @@ object Analysis {
 
   val MaxTokenLength = 255
 
-  // ICU BreakIterator is stateful and not thread-safe → one per thread.
-  private val wordBreaker = new ThreadLocal[RuleBasedBreakIterator] {
-    override def initialValue(): RuleBasedBreakIterator =
-      BreakIterator.getWordInstance(ULocale.ROOT).asInstanceOf[RuleBasedBreakIterator]
+  /** UAX#29-subset word scanner, hand-rolled for throughput and ZERO
+    * shared state (ICU's BreakIterator plateaued under 32 threads —
+    * allocation-heavy and registry-synchronized). Rules implemented
+    * (the subset StandardTokenizer exercises on web text):
+    *  - tokens are maximal runs of letters/digits (WordBreak ALetter /
+    *    Numeric), joined across medial characters per UAX#29:
+    *    apostrophe '\''/'’' between letters (MidLetter),
+    *    '.'/',' between digits (MidNum), '_' between alnum
+    *    (ExtendNumLet);
+    *  - ideographic (Han) and Hiragana code points emit one token per
+    *    character (as StandardTokenizer's IDEOGRAPHIC/HIRAGANA types);
+    *  - everything else is a separator; maxTokenLength truncates.
+    * Golden-tested (AnalysisSpec); the SpecOracle shares this code. */
+  private def isWordCp(cp: Int): Boolean =
+    Character.isLetter(cp) || Character.isDigit(cp)
+
+  private def isCjkSingle(cp: Int): Boolean =
+    Character.isIdeographic(cp) ||
+      (cp >= 0x3040 && cp <= 0x309F) // Hiragana
+
+  /** Visit each token as (start, end) char offsets; returns count. */
+  def scanTokens(text: String, maxLen: Int)(emit: (Int, Int) => Unit): Int = {
+    if (text == null || text.isEmpty) return 0
+    val n = text.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (!isWordCp(cp)) i += w
+      else if (isCjkSingle(cp)) {
+        emit(i, i + w); count += 1; i += w
+      } else {
+        val start = i
+        i += w
+        var done = false
+        while (!done && i < n) {
+          val c = text.codePointAt(i)
+          val cw = Character.charCount(c)
+          if (isWordCp(c) && !isCjkSingle(c)) i += cw
+          else if (c == '\'' || c == '’' || c == '.' || c == ',' || c == '_') {
+            // medial: must be flanked by word chars of the right class
+            val nextIdx = i + 1
+            if (nextIdx < n) {
+              val nx = text.codePointAt(nextIdx)
+              val prev = text.codePointBefore(i)
+              val ok = c match {
+                case '\'' | '’' => Character.isLetter(prev) && Character.isLetter(nx)
+                case '.' | ',' => Character.isDigit(prev) && Character.isDigit(nx)
+                case '_' => isWordCp(prev) && isWordCp(nx)
+                case _ => false
+              }
+              if (ok && !isCjkSingle(nx)) i += 1 else done = true
+            } else done = true
+          } else done = true
+        }
+        val end = if (i - start > maxLen) start + maxLen else i
+        emit(start, end)
+        count += 1
+      }
+    }
+    count
   }
 
-  /** UAX#29 word tokenization: emit boundary-delimited segments whose
-    * rule status is a word class (letters, numbers, ideographs, kana) —
-    * i.e. drop whitespace/punctuation runs — truncated at maxLen chars,
-    * matching StandardTokenizer's maxTokenLength contract. */
+  /** Tokenize into strings (truncated at maxLen). */
   def tokenizeRaw(text: String, maxLen: Int = MaxTokenLength): Array[String] = {
-    if (text == null || text.isEmpty) return Array.empty
-    val bi = wordBreaker.get()
-    bi.setText(text)
     val out = Array.newBuilder[String]
-    var start = bi.first()
-    var end = bi.next()
-    while (end != BreakIterator.DONE) {
-      if (bi.getRuleStatus != BreakIterator.WORD_NONE) {
-        val t = text.substring(start, end)
-        out += (if (t.length > maxLen) t.substring(0, maxLen) else t)
-      }
-      start = end
-      end = bi.next()
-    }
+    scanTokens(text, maxLen)((s, e) => out += text.substring(s, e))
     out.result()
   }
+
+  /** Token count WITHOUT materializing token strings — the field-length
+    * (norms) pass runs this: zero per-token allocation. */
+  def countTokens(text: String, maxLen: Int = MaxTokenLength): Int =
+    scanTokens(text, maxLen)((_, _) => ())
 
   /** Full analyzer used by the in-memory SpecOracle and tests — must
     * stay semantically identical to the Column pipeline below. */

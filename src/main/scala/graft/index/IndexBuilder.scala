@@ -21,10 +21,16 @@ import graft.util.{SmallFloat, VarInt, ByteBuilder}
   *        (segment = contiguous docId range holding ALL its terms — the
   *        Lucene segment model, which is what lets a query be answered
   *        per-partition without a cross-term shuffle).
-  * @param hotTermDf df threshold above which a term's merge is salted
-  *        into `numSalts` docId-contiguous slices (skew split,
-  *        SURVEY.md §4.4). At web scale this would be ~1e7; tests use a
-  *        low value to exercise the path.
+  * @param hotTermDf estimated document frequency above which a term's
+  *        merge is salted into `numSalts` docId-contiguous slices (skew
+  *        split, SURVEY.md §4.4). At web scale ~1e7; tests use low
+  *        values to exercise the path.
+  * @param hotSampleRate fraction of docs sampled (deterministically, by
+  *        url hash) to ESTIMATE per-term df for hot-term detection — at
+  *        10^12 docs an exact pre-pass would cost a full extra
+  *        tokenization+shuffle; a sample finds every truly hot term
+  *        with near-certainty, and correctness is invariant to the salt
+  *        decision (property-tested: salted ≡ unsalted). 1.0 = exact.
   */
 final case class IndexConfig(
     stopWords: Seq[String] = Nil,
@@ -33,14 +39,18 @@ final case class IndexConfig(
     partsPerSegment: Int = 4,
     blockSize: Int = 128,
     hotTermDf: Long = 10000000L,
-    numSalts: Int = 4)
+    numSalts: Int = 4,
+    hotSampleRate: Double = 0.05)
 
 /** Batch inverted-index build (SURVEY.md §3.A):
   *
-  *   pages → analyze → range-partition by url → deterministic docIds
-  *   → docs+norms table → per-partition SPIMI runs → salted sort-merge
-  *   shuffle → 128-doc blocks (delta-varint + block-max) → parquet
-  *   segments → stats/lineage → atomic manifest commit.
+  *   pages → range-partition by url (raw text — the shuffle never
+  *   carries token arrays) → deterministic docIds → docs/norms table
+  *   (allocation-free token counting) → hot-term estimate from a
+  *   deterministic sample → one fused tokenize→SPIMI→salted-sort-merge
+  *   job → 128-entry delta-varint blocks with block-max metadata →
+  *   parquet segments → exact per-term stats from merged row metadata →
+  *   lineage → atomic manifest commit.
   *
   * Replaces the reference's IndexWriter pipeline
   * [U lucene/core/.../index/IndexWriter.java, DocumentsWriterPerThread,
@@ -52,10 +62,6 @@ final case class IndexConfig(
   */
 object IndexBuilder {
 
-  final case class AnalyzedDoc(
-      partId: Int, segId: Int, docId: Long, url: String, lang: String,
-      tokens: Seq[String])
-
   def build(spark: SparkSession, pages: Dataset[Page], dir: String,
             cfg: IndexConfig = IndexConfig()): InvertedIndex = {
     if (Files.exists(Paths.get(dir, "manifest.json")))
@@ -64,47 +70,50 @@ object IndexBuilder {
 
     Files.createDirectories(Paths.get(dir))
 
-    // ---- analyze + deterministic docId assignment ---------------------
-    // docId is (normatively, FIXTURES.md §3) `row_number() over (order by
-    // url) - 1`, computed scalably: range-partition by url, count per
-    // partition, prefix-sum offsets on the driver (P longs — O(partitions),
-    // never O(rows)), then per-partition sequential assignment. This is
-    // how a global row_number survives 10^12 rows; a single Window would
-    // funnel everything through one task.
-    val analyzed = pages
-      .select(col("url"), col("lang"),
-        Analysis.analyzeCol(col("text"), cfg.stopWords).as("tokens"))
-      .as[(String, String, Seq[String])]
+    // ---- shuffle raw docs into url-range partitions --------------------
+    // Tokenization happens AFTER this exchange, so analysis parallelism
+    // equals numPartitions regardless of input file layout, and the
+    // shuffle payload is the raw text (smaller than token arrays).
+    val parted: Dataset[(String, String, String)] = pages
+      .select(col("url"), col("lang"), col("text"))
       .repartitionByRange(cfg.numPartitions, col("url"))
       .sortWithinPartitions("url")
+      .as[(String, String, String)]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // docId = row_number over url order, computed scalably: per-partition
+    // counts + prefix-sum offsets on the driver (O(partitions) driver
+    // state — never O(rows); a single Window would serialize the build).
+    val tCounts = System.nanoTime()
     val counts: Array[Long] =
-      analyzed.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+      parted.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+    if (sys.env.contains("GRAFT_PROFILE"))
+      println(f"[build] counts+materialize ${(System.nanoTime() - tCounts) / 1e9}%.2f s")
     val offsets: Array[Long] = counts.scanLeft(0L)(_ + _)
+    val docCount = counts.sum
     val bcOffsets = spark.sparkContext.broadcast(offsets)
     val partsPerSeg = cfg.partsPerSegment
+    val stopSet = cfg.stopWords.toSet
+    val maxLen = cfg.maxTokenLength
 
-    val assigned: Dataset[AnalyzedDoc] = analyzed.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      val off = bcOffsets.value(pid)
-      val segId = pid / partsPerSeg
-      var i = -1L
-      it.map { case (url, lang, tokens) =>
-        i += 1
-        AnalyzedDoc(pid, segId, off + i, url, lang, tokens)
-      }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-
-    // ---- docs table (norms) -------------------------------------------
+    // ---- docs table (norms) — allocation-free token COUNT pass --------
     val docsPath = s"$dir/docs"
     runStage(docsPath) {
-      assigned.map { a =>
-        val dl = a.tokens.length
-        val norm = SmallFloat.intToByte4(dl)
-        DocRow(a.segId, a.docId, a.url, a.lang, dl, norm, SmallFloat.byte4ToInt(norm))
+      parted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val off = bcOffsets.value(pid)
+        val segId = pid / partsPerSeg
+        var i = -1L
+        it.map { case (url, lang, text) =>
+          i += 1
+          val dl =
+            if (stopSet.isEmpty) Analysis.countTokens(text, maxLen)
+            else Analysis.analyze(text, stopSet, maxLen).length
+          val norm = SmallFloat.intToByte4(dl)
+          DocRow(segId, off + i, url, lang, dl, norm, SmallFloat.byte4ToInt(norm))
+        }
       }.toDF()
-        .write.partitionBy("segId").mode("overwrite").parquet(docsPath)
+        .write.mode("overwrite").parquet(docsPath)
     }
     val docsDf = spark.read.parquet(docsPath)
 
@@ -122,51 +131,58 @@ object IndexBuilder {
     val bcStats = spark.sparkContext.broadcast(
       Bm25Stats(stats0.docCount, stats0.sumTotalTermFreq))
 
-    // ---- SPIMI: per-partition in-memory inversion ---------------------
-    val runs: Dataset[Run] = assigned.mapPartitions(spimi).persist(StorageLevel.MEMORY_AND_DISK)
-
-    // ---- per-term global stats (df, ttf) — exact, and doubles as the
-    // hot-term detector for salting. Map-side partial agg is automatic.
-    val termStatsPath = s"$dir/termstats"
-    runStage(termStatsPath) {
-      runs.toDF()
-        .select(col("term"), size(col("docIds")).cast("long").as("pdf"),
-          aggregate(col("tfs"), lit(0L), (acc, x) => acc + x).as("pttf"))
-        .groupBy("term")
-        .agg(sum(col("pdf")).as("df"), sum(col("pttf")).as("ttf"))
-        .write.mode("overwrite").parquet(termStatsPath)
+    // ---- hot-term detection from a deterministic url-hash sample ------
+    val tHot = System.nanoTime()
+    val hotTerms: Set[String] = {
+      val buckets = 1 << 16
+      val keep = math.max(1L, (cfg.hotSampleRate * buckets).toLong)
+      val sampled =
+        if (cfg.hotSampleRate >= 1.0) parted.toDF("url", "lang", "text")
+        else parted.toDF("url", "lang", "text")
+          .filter(pmod(xxhash64(col("url")), lit(buckets)) < lit(keep))
+      val scale = 1.0 / math.min(1.0, keep.toDouble / buckets)
+      sampled
+        .select(explode(array_distinct(
+          Analysis.analyzeCol(col("text"), cfg.stopWords))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .filter(col("c") * scale >= cfg.hotTermDf)
+        .select("term").as[String].collect().toSet
     }
-    val termStatsDf = spark.read.parquet(termStatsPath)
-
-    val hotTerms: Set[String] = termStatsDf
-      .filter(col("df") >= cfg.hotTermDf).select("term").as[String]
-      .collect().toSet
+    if (sys.env.contains("GRAFT_PROFILE"))
+      println(f"[build] hotsample ${(System.nanoTime() - tHot) / 1e9}%.2f s (${hotTerms.size} hot)")
     val bcHot = spark.sparkContext.broadcast(hotTerms)
     val numSalts = cfg.numSalts
-
-    // ---- salted sort-merge shuffle (the SegmentMerger analogue) -------
-    // Key = (segId, term, salt): equal keys land in one range partition;
-    // runs of a hot term fan out over `numSalts` docId-contiguous slices
-    // so no reducer ever owns a whole web-scale posting list.
     val blockSize = cfg.blockSize
-    val salted = runs.map { r =>
-      if (bcHot.value.contains(r.term))
-        r.copy(salt = (r.partId % partsPerSeg) * numSalts / partsPerSeg)
-      else r
-    }
 
+    // ---- fused SPIMI → salted sort-merge shuffle → block encode -------
+    // Merge key = (segId, term, salt): equal keys land in one range
+    // partition; runs of a hot term fan out over `numSalts`
+    // docId-contiguous slices so no reducer ever owns a whole web-scale
+    // posting list (the SegmentMerger + TieredMergePolicy analogue).
     val postingsPath = s"$dir/postings"
     runStage(postingsPath) {
-      salted
+      parted.mapPartitions { it =>
+        spimi(it, TaskContext.getPartitionId(), bcOffsets.value, partsPerSeg,
+          bcHot.value, numSalts, stopSet, maxLen)
+      }
         .repartitionByRange(cfg.numPartitions, col("segId"), col("term"), col("salt"))
         .sortWithinPartitions("segId", "term", "salt", "firstDocId")
         .mapPartitions(it => mergeRuns(it, bcStats.value, blockSize))
         .toDF()
-        .write.partitionBy("segId").mode("overwrite").parquet(postingsPath)
+        .write.mode("overwrite").parquet(postingsPath)
+    }
+
+    // ---- exact per-term stats from merged row metadata ----------------
+    // (columnar scan of term/df/ttf only — blocks never read)
+    val postingsDf = spark.read.parquet(postingsPath)
+    val termStatsPath = s"$dir/termstats"
+    runStage(termStatsPath) {
+      postingsDf.groupBy("term")
+        .agg(sum("df").as("df"), sum("ttf").as("ttf"))
+        .write.mode("overwrite").parquet(termStatsPath)
     }
 
     // ---- lineage + segment metadata (manifest inputs) -----------------
-    val postingsDf = spark.read.parquet(postingsPath)
     val lineagePath = s"$dir/lineage"
     runStage(lineagePath) {
       postingsDf.groupBy("segId")
@@ -183,9 +199,7 @@ object IndexBuilder {
         .coalesce(1).write.mode("overwrite").parquet(segsPath)
     }
 
-    analyzed.unpersist()
-    assigned.unpersist()
-    runs.unpersist()
+    parted.unpersist()
 
     // ---- atomic manifest commit (segments_N analogue): temp + rename --
     val segInfos = spark.read.parquet(segsPath).as[SegmentInfo].collect()
@@ -201,44 +215,58 @@ object IndexBuilder {
 
   /** Idempotent stage guard: skip if a previous run completed it. */
   private def runStage(path: String)(f: => Unit): Unit =
-    if (!Files.exists(Paths.get(path, "_SUCCESS"))) f
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      val t0 = System.nanoTime()
+      f
+      if (sys.env.contains("GRAFT_PROFILE"))
+        println(f"[build] ${Paths.get(path).getFileName} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
 
-  /** SPIMI in-memory inversion of one partition
-    * (≈ one DocumentsWriterPerThread at flush). Docs arrive in docId
-    * order, so per-term docId arrays are built already sorted —
-    * no sort needed at emit, only at the term level. */
-  private def spimi(docs: Iterator[AnalyzedDoc]): Iterator[Run] = {
-    var partId = -1
-    var segId = -1
+  /** SPIMI in-memory inversion of one partition (≈ one
+    * DocumentsWriterPerThread at flush), fused with docId assignment and
+    * salt tagging. Docs arrive in docId order, so per-term postings are
+    * built already sorted. */
+  private def spimi(docs: Iterator[(String, String, String)], pid: Int,
+                    offsets: Array[Long], partsPerSeg: Int,
+                    hot: Set[String], numSalts: Int,
+                    stopSet: Set[String], maxLen: Int): Iterator[Run] = {
+    val segId = pid / partsPerSeg
+    val salt = (pid % partsPerSeg) * numSalts / partsPerSeg
     val inv = new java.util.HashMap[String, PostingsBuf]()
     val perDoc = new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]()
-    docs.foreach { d =>
-      partId = d.partId
-      segId = d.segId
+    var docId = offsets(pid) - 1L
+    docs.foreach { case (_, _, text) =>
+      docId += 1
       perDoc.clear()
+      val tokens = Analysis.analyze(text, stopSet, maxLen)
       var pos = 0
-      d.tokens.foreach { t =>
+      while (pos < tokens.length) {
+        val t = tokens(pos)
         var b = perDoc.get(t)
         if (b == null) { b = new mutable.ArrayBuilder.ofInt; perDoc.put(t, b) }
         b += pos
         pos += 1
       }
-      val norm = SmallFloat.intToByte4(d.tokens.length)
+      val norm = SmallFloat.intToByte4(tokens.length)
+      val d = docId
       perDoc.forEach { (term, posB) =>
         var buf = inv.get(term)
         if (buf == null) { buf = new PostingsBuf; inv.put(term, buf) }
-        buf.add(d.docId, posB.result(), norm)
+        buf.add(d, posB.result(), norm)
       }
     }
     if (inv.isEmpty) Iterator.empty
     else {
       val terms = inv.keySet().toArray(new Array[String](0))
       java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
-      val p = partId; val s = segId
       terms.iterator.map { term =>
         val buf = inv.get(term)
-        Run(p, s, term, 0, buf.firstDocId, buf.docIds, buf.tfs, buf.norms,
-          buf.positionsEncoded)
+        val docIds = buf.docIds
+        val tfs = buf.tfs
+        Run(pid, segId, term, if (hot.contains(term)) salt else 0,
+          buf.firstDocId, docIds.length,
+          VarInt.encodeDeltas(docIds, buf.firstDocId),
+          VarInt.encodeInts(tfs), buf.norms, buf.positionsEncoded)
       }
     }
   }
@@ -294,19 +322,21 @@ object IndexBuilder {
 
   private def buildRow(group: mutable.ArrayBuffer[Run], head: Run,
                        cache: Array[Float], blockSize: Int): PostingsRow = {
-    val n = group.iterator.map(_.docIds.length).sum
+    val n = group.iterator.map(_.count).sum
     val docIds = new Array[Long](n)
     val tfs = new Array[Int](n)
     val norms = new Array[Byte](n)
     val positions = new Array[Array[Int]](n)
     var o = 0
     group.foreach { r =>
-      System.arraycopy(r.docIds, 0, docIds, o, r.docIds.length)
-      System.arraycopy(r.tfs, 0, tfs, o, r.tfs.length)
-      System.arraycopy(r.norms, 0, norms, o, r.norms.length)
-      val pos = VarInt.decodePositions(r.positions, r.tfs)
+      val rDocs = VarInt.decodeDeltas(r.docs, r.count, r.firstDocId)
+      val rTfs = VarInt.decodeInts(r.tfs, r.count)
+      System.arraycopy(rDocs, 0, docIds, o, r.count)
+      System.arraycopy(rTfs, 0, tfs, o, r.count)
+      System.arraycopy(r.norms, 0, norms, o, r.count)
+      val pos = VarInt.decodePositions(r.positions, rTfs)
       System.arraycopy(pos, 0, positions, o, pos.length)
-      o += r.docIds.length
+      o += r.count
     }
     val blocks = Vector.newBuilder[Block]
     var start = 0
@@ -327,7 +357,6 @@ object IndexBuilder {
       var j = 0
       while (j < bTfs.length) {
         if (bTfs(j) > maxTf) maxTf = bTfs(j)
-        // norm bytes encode monotonically increasing lengths
         if ((bNorms(j) & 0xFF) < (minNorm & 0xFF)) minNorm = bNorms(j)
         val imp = BM25.score(1f, bTfs(j).toFloat, cache(bNorms(j) & 0xFF))
         if (imp > maxImpact) maxImpact = imp
@@ -358,7 +387,7 @@ object IndexBuilder {
        |  "sumTotalTermFreq": ${stats.sumTotalTermFreq},
        |  "avgdl": ${stats.avgdl},
        |  "hotTermsSalted": $hotTerms,
-       |  "config": {"numPartitions": ${cfg.numPartitions}, "partsPerSegment": ${cfg.partsPerSegment}, "blockSize": ${cfg.blockSize}, "hotTermDf": ${cfg.hotTermDf}, "numSalts": ${cfg.numSalts}},
+       |  "config": {"numPartitions": ${cfg.numPartitions}, "partsPerSegment": ${cfg.partsPerSegment}, "blockSize": ${cfg.blockSize}, "hotTermDf": ${cfg.hotTermDf}, "numSalts": ${cfg.numSalts}, "hotSampleRate": ${cfg.hotSampleRate}},
        |  "segments": $segJson
        |}""".stripMargin
   }

@@ -26,14 +26,35 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) {
     Bm25Stats(long("docCount"), long("sumTotalTermFreq"))
   }
 
-  def postings: Dataset[PostingsRow] =
-    spark.read.parquet(s"$dir/postings").as[PostingsRow]
+  @volatile private var cached
+      : Option[(Dataset[PostingsRow], Dataset[DocRow], DataFrame)] = None
 
-  def docs: Dataset[DocRow] = spark.read.parquet(s"$dir/docs").as[DocRow]
+  def postings: Dataset[PostingsRow] = cached.map(_._1)
+    .getOrElse(spark.read.parquet(s"$dir/postings").as[PostingsRow])
 
-  def termStats: DataFrame = spark.read.parquet(s"$dir/termstats")
+  def docs: Dataset[DocRow] = cached.map(_._2)
+    .getOrElse(spark.read.parquet(s"$dir/docs").as[DocRow])
+
+  def termStats: DataFrame = cached.map(_._3)
+    .getOrElse(spark.read.parquet(s"$dir/termstats"))
 
   def lineage: DataFrame = spark.read.parquet(s"$dir/lineage")
+
+  /** Pin the segment tables in executor memory and materialize them —
+    * the analogue of a warm MMapDirectory + preloaded norms in the
+    * reference's "warm searcher" serving mode. Opt-in: at full corpus
+    * scale you warm only the hot working set, so nothing in the query
+    * path REQUIRES this. */
+  def warm(): InvertedIndex = {
+    if (cached.isEmpty) {
+      val p = spark.read.parquet(s"$dir/postings").as[PostingsRow].persist()
+      val d = spark.read.parquet(s"$dir/docs").as[DocRow].persist()
+      val t = spark.read.parquet(s"$dir/termstats").persist()
+      p.count(); d.count(); t.count()
+      cached = Some((p, d, t))
+    }
+    this
+  }
 }
 
 object InvertedIndex {

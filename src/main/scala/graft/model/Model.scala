@@ -55,15 +55,20 @@ final case class PostingsRow(
 
 /** Intermediate SPIMI run: one term's postings from one input partition
   * (the analogue of one DWPT's in-memory postings at flush,
-  * [U lucene/core/.../index/DocumentsWriterPerThread.java]). */
+  * [U lucene/core/.../index/DocumentsWriterPerThread.java]).
+  * Fully packed for the merge shuffle: delta-varint docIds, varint tfs,
+  * raw norm bytes, per-doc delta-varint positions — ~4-5 bytes/posting
+  * on the wire instead of 13+ (shuffle volume is the merge bottleneck
+  * at corpus scale). */
 final case class Run(
     partId: Int,
     segId: Int,
     term: String,
     salt: Int,
     firstDocId: Long,
-    docIds: Array[Long],
-    tfs: Array[Int],
+    count: Int,
+    docs: Array[Byte],
+    tfs: Array[Byte],
     norms: Array[Byte],
     positions: Array[Byte])
 
@@ -76,9 +81,27 @@ final case class SegmentInfo(segId: Int, nDocs: Long, minDocId: Long, maxDocId: 
   * UDF, no RNG. */
 object Corpus {
 
-  def pages(spark: SparkSession, sfDir: String): Dataset[Page] = {
+  def pages(spark: SparkSession, sfDir: String): Dataset[Page] =
+    fromDocuments(spark, spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** Deterministic ×R corpus scale-up for benchmarking (FIXTURES.md §1):
+    * repeat every document with doc_id' = doc_id + rep·10^7, re-deriving
+    * url/ts/html — no RNG, stable across runs and cluster sizes. */
+  def pagesRepeated(spark: SparkSession, sfDir: String, repeat: Int): Dataset[Page] = {
+    if (repeat <= 1) return pages(spark, sfDir)
+    // spread the small base table across tasks BEFORE the ×R explode so
+    // corpus generation is parallel (the raw file is one row-group)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("rep", explode(sequence(lit(0), lit(repeat - 1))))
+      .withColumn("doc_id", col("doc_id") + col("rep").cast("long") * lit(10000000L))
+    fromDocuments(spark, base)
+  }
+
+  private def fromDocuments(spark: SparkSession,
+                            documents: org.apache.spark.sql.DataFrame): Dataset[Page] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    documents
       .select(
         format_string("https://example.com/%s/%012d", col("source"), col("doc_id"))
           .as("url"),

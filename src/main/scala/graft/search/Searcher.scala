@@ -41,20 +41,33 @@ final class Searcher(idx: InvertedIndex) extends Serializable {
   }
 
   /** Top-k hits as (rank, docId, url, score), rank-identical to the
-    * reference's TopScoreDocCollector ordering (score desc, docId asc). */
+    * reference's TopScoreDocCollector ordering (score desc, docId asc).
+    *
+    * Two-phase, like the reference's distributed search
+    * [U solr/core/.../handler/component/QueryComponent PURPOSE_GET_TOP_IDS
+    * → mergeIds → PURPOSE_GET_FIELDS]: per-segment top-k (≤ k rows per
+    * segment) is collected and merged ON THE DRIVER with the same
+    * comparator (TopDocs.merge), then stored fields for just the k
+    * winners are fetched with a docId-pushdown scan + broadcast join —
+    * no Spark-side global sort, no full docs-table scan. */
   def topK(q: Query, k: Int): DataFrame = {
-    val hits = scoredHits(q, k).toDF("docId", "score")
-      .orderBy(desc("score"), asc("docId")).limit(k)
-    // enrich winners with stored fields — the GET_FIELDS phase of the
-    // reference's two-phase distributed search (broadcast the tiny
-    // winner set against the big docs table, never the reverse)
-    idx.docs.select("docId", "url")
-      .join(broadcast(hits), "docId")
-      .orderBy(desc("score"), asc("docId"))
+    import idx.spark.implicits._
+    val merged: Array[(Long, Float)] = scoredHits(q, k).collect()
+      .sortBy { case (d, s) => (-s, d) }
+      .take(k)
+    if (merged.isEmpty) {
+      return idx.spark.emptyDataset[(Int, Long, String, Float)]
+        .toDF("rank", "docId", "url", "score")
+    }
+    val ids = merged.map(_._1)
+    val hitsDf = merged.toSeq.toDF("docId", "score")
+    idx.docs.filter(col("docId").isin(ids: _*)).select("docId", "url")
+      .join(broadcast(hitsDf), "docId")
       .select(
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(desc("score"), asc("docId"))).as("rank"),
         col("docId"), col("url"), col("score"))
+      .orderBy("rank")
   }
 
   /** All scored hits of `q`, unranked (k caps per-segment emission when
@@ -200,9 +213,13 @@ object SegmentScorer {
     if (scorers.length < mm || scorers.isEmpty) return Iterator.empty
     scorers.foreach(_.nextDoc())
     val byDoc = scorers.clone()
+    val byDocCmp = new java.util.Comparator[TermScorer] {
+      def compare(a: TermScorer, b: TermScorer): Int =
+        java.lang.Long.compare(a.doc, b.doc)
+    }
 
     while (true) {
-      java.util.Arrays.sort(byDoc, Ordering.by((s: TermScorer) => s.doc))
+      java.util.Arrays.sort(byDoc, byDocCmp)
       // tie-safe threshold: a candidate tying the threshold can still
       // win on docId, so pivot on bound >= threshold
       val theta = heap.threshold

@@ -78,7 +78,7 @@ class IndexSpec extends SparkSpec {
     val unsalted = IndexBuilder.build(spark, mkPages(texts), tmpDir("unsalted"),
       IndexConfig(numPartitions = 8, partsPerSegment = 8, hotTermDf = Long.MaxValue))
     val salted = IndexBuilder.build(spark, mkPages(texts), tmpDir("salted"),
-      IndexConfig(numPartitions = 8, partsPerSegment = 8, hotTermDf = 10, numSalts = 4))
+      IndexConfig(numPartitions = 8, partsPerSegment = 8, hotTermDf = 10, numSalts = 4, hotSampleRate = 1.0))
 
     def flat(idx: InvertedIndex, term: String) =
       idx.postings.collect().filter(_.term == term)
