@@ -83,6 +83,11 @@ object SparkEntry {
     "ir_q08_not" -> ((s, d) => rel(s, d).notTopK("spark", "merge", 10)),
     "ir_q09_filter" -> ((s, d) => rel(s, d).filterTopK("spark", "en", 10)),
     "ir_q10_phrase" -> ((s, d) => rel(s, d).phraseDocs(Seq("batch", "batch"))),
+    "ir_q11_prefix" -> ((s, d) => rel(s, d).prefixTopK("s", 10)),
+    "ir_q12_range" -> ((s, d) => rel(s, d).rangeTopK("batch", "data", 10)),
+    "ir_q13_fuzzy" -> ((s, d) => rel(s, d).fuzzyTopK("spork", 1, 10)),
+    "ir_q14_dismax" -> ((s, d) => rel(s, d).dismaxTopK(Seq("spark", "merge"), 0.3, 10)),
+    "ir_q15_boost" -> ((s, d) => rel(s, d).boostedOrTopK(Seq("spark" -> 2.0, "merge" -> 1.0), 10)),
     // ---- training-data pipeline: dedup (§prompt) ----
     "dd_exact" -> ((s, d) => Dedup.exactGroups(docsTable(s, d)).orderBy("keep_id")),
     "dd_ngram_jaccard" -> ((s, d) =>
@@ -180,6 +185,14 @@ object SparkEntry {
 
   /** Tie-break = url order = (source, doc_id) order — identical to the
     * engine's docId (url-rank) tie-break, see FIXTURES.md §1/§3. */
+  /** Constant-score term-set query: any matching term, rank = url order. */
+  private def constSetSql(termPred: String): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |sel AS (SELECT DISTINCT t.doc_id FROM tok t WHERE $termPred)
+       |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+       |  SELECT row_number() OVER (ORDER BY d.source ASC, sel.doc_id ASC) AS rank, sel.doc_id
+       |  FROM sel JOIN documents d USING (doc_id)) WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   private def topkSql(body: String): String =
     s"$bm25Cte, sel AS ($body) SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id))) WHERE rank <= 10 ORDER BY rank"
 
@@ -216,6 +229,13 @@ object SparkEntry {
       "SELECT s1.doc_id, s1.score AS s FROM scored s1 WHERE s1.term = 'spark' AND s1.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
     "ir_q10_phrase" ->
       "SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% batch batch %' ORDER BY doc_id",
+    "ir_q11_prefix" -> constSetSql("t.term LIKE 's%'"),
+    "ir_q12_range" -> constSetSql("t.term >= 'batch' AND t.term <= 'data'"),
+    "ir_q13_fuzzy" -> constSetSql("levenshtein(t.term, 'spork') <= 1"),
+    "ir_q14_dismax" -> topkSql(
+      "SELECT doc_id, max(score) + 0.3 * (sum(score) - max(score)) AS s FROM scored WHERE term IN ('spark','merge') GROUP BY doc_id"),
+    "ir_q15_boost" -> topkSql(
+      "SELECT doc_id, sum(score * (CASE term WHEN 'spark' THEN 2.0 ELSE 1.0 END)) AS s FROM scored WHERE term IN ('spark','merge') GROUP BY doc_id"),
     "dd_exact" ->
       """SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -109,6 +109,56 @@ final class RelationalPath(idx: InvertedIndex) {
     rankTopK(p.join(f, Seq("docId"), "left_semi"), k)
   }
 
+  /** Constant-score set membership (TermInSetQuery / multi-term rewrite
+    * target): all docs containing ANY of the terms; constant score ⇒
+    * rank = docId (url-rank) order. */
+  def constDocsTopK(terms: Seq[String], k: Int): DataFrame =
+    if (terms.isEmpty)
+      idx.spark.emptyDataFrame
+        .withColumn("rank", lit(0)).withColumn("doc_id", lit(0L))
+        .select("rank", "doc_id").limit(0)
+    else {
+      tfTable(terms).toDF("term", "docId", "tf")
+        .select("docId").distinct()
+        .join(docsWithId.select(col("docId"), col("doc_id")), "docId")
+        .withColumn("rank", row_number().over(Window.orderBy(asc("docId"))))
+        .filter(col("rank") <= k)
+        .select(col("rank").cast("int").as("rank"), col("doc_id"))
+        .orderBy("rank")
+    }
+
+  /** Prefix / range / fuzzy top-k — term-dictionary expansion (a
+    * pushdown-pruned termstats scan) then constant-score set. */
+  def prefixTopK(p: String, k: Int): DataFrame =
+    constDocsTopK(new IndexTermDict(idx).prefix(p), k)
+  def rangeTopK(lo: String, hi: String, k: Int): DataFrame =
+    constDocsTopK(new IndexTermDict(idx).range(lo, hi, il = true, ih = true), k)
+  def fuzzyTopK(t: String, maxEdits: Int, k: Int): DataFrame =
+    constDocsTopK(new IndexTermDict(idx).fuzzy(t, maxEdits), k)
+
+  /** DisjunctionMax: max + tieBreak·(sum − max) per doc. */
+  def dismaxTopK(terms: Seq[String], tieBreak: Double, k: Int): DataFrame =
+    rankTopK(
+      scoredTf(terms).groupBy("docId", "doc_id")
+        .agg(max("score").as("mx"), sum("score").as("sm"))
+        .withColumn("s", col("mx") + lit(tieBreak) * (col("sm") - col("mx")))
+        .select(col("docId"), col("doc_id"), col("s")), k)
+
+  /** Boosted disjunction: Σ boost(term)·score. */
+  def boostedOrTopK(termBoosts: Seq[(String, Double)], k: Int): DataFrame = {
+    val terms = termBoosts.map(_._1)
+    val boostCol = termBoosts.tail.foldLeft(
+      when(col("term") === termBoosts.head._1, lit(termBoosts.head._2))) {
+      case (acc, (t, b)) => acc.when(col("term") === t, lit(b))
+    }.otherwise(lit(1.0))
+    rankTopK(
+      scoredTf(terms)
+        .withColumn("ws", col("score") * boostCol)
+        .groupBy("docId", "doc_id")
+        .agg(sum("ws").as("s"))
+        .select(col("docId"), col("doc_id"), col("s")), k)
+  }
+
   /** Exact-phrase matching docs (ascending doc_id), two-phase:
     * conjunction candidates, then position verification. */
   def phraseDocs(terms: Seq[String]): DataFrame = {

@@ -347,6 +347,76 @@ final class BoolScorer(
   }
 }
 
+/** Fixed score for every match [U …/search/ConstantScoreQuery.java];
+  * also the execution of TermSetQ (CONSTANT_SCORE multi-term rewrite). */
+final class ConstScorer(inner: DocScorer, constScore: Float) extends DocScorer {
+  def doc: Long = inner.doc
+  def nextDoc(): Long = inner.nextDoc()
+  def advance(target: Long): Long = inner.advance(target)
+  def score(): Float = constScore
+  val maxScore: Float = constScore
+  def cost: Long = inner.cost
+}
+
+/** Score multiplier [U …/search/BoostQuery.java] — engine semantics:
+  * one float multiply on the inner score (see BoostQ). */
+final class BoostScorer(inner: DocScorer, boost: Float) extends DocScorer {
+  def doc: Long = inner.doc
+  def nextDoc(): Long = inner.nextDoc()
+  def advance(target: Long): Long = inner.advance(target)
+  def score(): Float = boost * inner.score()
+  val maxScore: Float = boost * inner.maxScore
+  def cost: Long = inner.cost
+}
+
+/** max + tieBreak·(sum − max) over matching clauses, accumulated in
+  * clause order [U …/search/DisjunctionMaxQuery.java, DisjunctionMaxScorer]. */
+final class DisMaxScorer(clauses: IndexedSeq[DocScorer], tieBreak: Float)
+    extends DocScorer {
+  var doc: Long = -1L
+  val cost: Long = clauses.map(_.cost).sum
+  val maxScore: Float = {
+    var mx = 0f
+    var sm = 0f
+    clauses.foreach { c => val m = c.maxScore; if (m > mx) mx = m; sm += m }
+    mx + tieBreak * (sm - mx)
+  }
+
+  def nextDoc(): Long = advance(doc + 1)
+
+  def advance(target: Long): Long = {
+    if (doc == Scorers.DONE) return doc
+    var min = Scorers.DONE
+    var i = 0
+    while (i < clauses.length) {
+      val c = clauses(i)
+      if (c.doc != Scorers.DONE) {
+        if (c.doc < target) c.advance(target)
+        if (c.doc < min) min = c.doc
+      }
+      i += 1
+    }
+    doc = min
+    doc
+  }
+
+  def score(): Float = {
+    var mx = Float.NegativeInfinity
+    var sm = 0f
+    var i = 0
+    while (i < clauses.length) {
+      val c = clauses(i)
+      if (c.doc == doc) {
+        val s = c.score()
+        if (s > mx) mx = s
+        sm += s
+      }
+      i += 1
+    }
+    mx + tieBreak * (sm - mx)
+  }
+}
+
 /** Bounded top-k priority queue with Lucene's tie semantics: keep the k
   * best by (score desc, docId asc)
   * [U …/search/TopScoreDocCollector.java, HitQueue.java].

@@ -71,8 +71,10 @@ final class Searcher(idx: InvertedIndex) extends Serializable {
   }
 
   /** All scored hits of `q`, unranked (k caps per-segment emission when
-    * > 0; pass k <= 0 for exhaustive evaluation). */
-  def scoredHits(q: Query, k: Int): Dataset[(Long, Float)] = {
+    * > 0; pass k <= 0 for exhaustive evaluation). Multi-term queries
+    * are expanded against the term dictionary first (Query#rewrite). */
+  def scoredHits(q0: Query, k: Int): Dataset[(Long, Float)] = {
+    val q = Rewriter.rewrite(q0, new IndexTermDict(idx))
     val ctx = context(q)
     val bcCtx = idx.spark.sparkContext.broadcast(ctx)
     val bcQ = idx.spark.sparkContext.broadcast(q)
@@ -179,6 +181,18 @@ object SegmentScorer {
       }
     case AttrQ(name, _) =>
       sys.error(s"unsupported attribute filter: $name")
+    case TermSetQ(ts, s) =>
+      new ConstScorer(new BoolScorer(IndexedSeq.empty, IndexedSeq.empty,
+        ts.map(t => termScorer(t, ctx, blocks)).toIndexedSeq,
+        IndexedSeq.empty, 1), s)
+    case BoostQ(inner, b) =>
+      new BoostScorer(compile(inner, ctx, blocks, langBits), b)
+    case ConstScoreQ(inner, s) =>
+      new ConstScorer(compile(inner, ctx, blocks, langBits), s)
+    case DisMaxQ(qs, t) =>
+      new DisMaxScorer(qs.map(compile(_, ctx, blocks, langBits)).toIndexedSeq, t)
+    case _: PrefixQ | _: WildcardQ | _: FuzzyQ | _: TermRangeQ =>
+      sys.error(s"multi-term query must be rewritten before compile: $q")
     case BoolQ(must, should, mustNot, filt, mm) =>
       new BoolScorer(
         must.map(compile(_, ctx, blocks, langBits)).toIndexedSeq,

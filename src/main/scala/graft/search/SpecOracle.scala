@@ -87,6 +87,21 @@ final class SpecOracle(corpus: Seq[(String, String, String)],
       }
     case AttrQ("lang", v) => if (langOf(docId) == v) Some(0f) else None
     case AttrQ(n, _) => sys.error(s"unsupported attr $n")
+    case TermSetQ(ts, s) =>
+      if (ts.exists(t => postings.get(t).exists(_.contains(docId)))) Some(s) else None
+    case BoostQ(inner, b) => scoreDoc(inner, docId).map(b * _)
+    case ConstScoreQ(inner, s) => scoreDoc(inner, docId).map(_ => s)
+    case DisMaxQ(qs, tie) =>
+      val scores = qs.flatMap(scoreDoc(_, docId))
+      if (scores.isEmpty) None
+      else {
+        var mx = Float.NegativeInfinity
+        var sm = 0f
+        scores.foreach { s => if (s > mx) mx = s; sm += s }
+        Some(mx + tie * (sm - mx))
+      }
+    case _: PrefixQ | _: WildcardQ | _: FuzzyQ | _: TermRangeQ =>
+      sys.error(s"rewrite first: $q")
     case BoolQ(must, should, mustNot, filt, mm) =>
       val mustScores = must.map(scoreDoc(_, docId))
       if (mustScores.exists(_.isEmpty)) return None
@@ -103,15 +118,23 @@ final class SpecOracle(corpus: Seq[(String, String, String)],
       Some(s)
   }
 
+  /** Multi-term expansion against the in-memory term dictionary. */
+  def rewrite(q: Query): Query =
+    Rewriter.rewrite(q, new SeqTermDict(postings.keySet.toSeq))
+
   /** Top-k by (score desc, docId asc) — TopScoreDocCollector semantics. */
-  def topK(q: Query, k: Int): Seq[(Int, Long, String, Float)] =
+  def topK(q0: Query, k: Int): Seq[(Int, Long, String, Float)] = {
+    val q = rewrite(q0)
     docs.flatMap { case (docId, url, _, _) =>
       scoreDoc(q, docId).map(s => (docId, url, s))
     }.sortBy { case (d, _, s) => (-s, d) }
       .take(k).zipWithIndex
       .map { case ((d, u, s), i) => (i + 1, d, u, s) }
+  }
 
   /** All matching docIds, ascending. */
-  def matching(q: Query): Seq[Long] =
+  def matching(q0: Query): Seq[Long] = {
+    val q = rewrite(q0)
     docs.flatMap { case (docId, _, _, _) => scoreDoc(q, docId).map(_ => docId) }
+  }
 }

@@ -31,7 +31,16 @@ class SearchSpec extends SparkSpec {
     "q08 spark -merge" -> Query.not("spark", "merge"),
     "q09 spark filter lang:en" -> BoolQ(must = Seq(TermQ("spark")),
       filter = Seq(AttrQ("lang", "en"))),
-    "q10 phrase 'batch batch'" -> PhraseQ(Seq("batch", "batch")))
+    "q10 phrase 'batch batch'" -> PhraseQ(Seq("batch", "batch")),
+    "q11 prefix s*" -> PrefixQ("s"),
+    "q12 range [batch,data]" -> TermRangeQ("batch", "data"),
+    "q13 fuzzy spork~1" -> FuzzyQ("spork", 1),
+    "q14 dismax spark|merge tie .3" -> DisMaxQ(Seq(TermQ("spark"), TermQ("merge")), 0.3f),
+    "q15 boost spark^2 merge" -> BoolQ(should =
+      Seq(BoostQ(TermQ("spark"), 2f), TermQ("merge"))),
+    "q16 wildcard *dow" -> WildcardQ("*dow"),
+    "q17 const-score and" -> ConstScoreQ(Query.and("spark", "join"), 1.5f),
+    "q18 termset" -> TermSetQ(Seq("dup", "window")))
 
   test("rank + exact float32 score identity vs SpecOracle, k=10") {
     querySet.foreach { case (name, q) =>
