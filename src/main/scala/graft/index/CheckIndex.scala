@@ -11,8 +11,9 @@ import graft.util.VarInt
   * the index. */
 object CheckIndex {
 
-  def audit(idx: InvertedIndex): Seq[String] = {
-    import idx.spark.implicits._
+  def audit(idx: IndexView): Seq[String] = {
+    val spark = idx.spark
+    import spark.implicits._
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // 1. per-term df/ttf in termStats == sums over postings rows

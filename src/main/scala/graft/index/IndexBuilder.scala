@@ -40,7 +40,9 @@ final case class IndexConfig(
     blockSize: Int = 128,
     hotTermDf: Long = 10000000L,
     numSalts: Int = 4,
-    hotSampleRate: Double = 0.05)
+    hotSampleRate: Double = 0.05,
+    docIdBase: Long = 0L,
+    segIdBase: Int = 0)
 
 /** Batch inverted-index build (SURVEY.md §3.A):
   *
@@ -89,10 +91,11 @@ object IndexBuilder {
       parted.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
     if (sys.env.contains("GRAFT_PROFILE"))
       println(f"[build] counts+materialize ${(System.nanoTime() - tCounts) / 1e9}%.2f s")
-    val offsets: Array[Long] = counts.scanLeft(0L)(_ + _)
+    val offsets: Array[Long] = counts.scanLeft(cfg.docIdBase)(_ + _)
     val docCount = counts.sum
     val bcOffsets = spark.sparkContext.broadcast(offsets)
     val partsPerSeg = cfg.partsPerSegment
+    val segBase = cfg.segIdBase
     val stopSet = cfg.stopWords.toSet
     val maxLen = cfg.maxTokenLength
 
@@ -102,7 +105,7 @@ object IndexBuilder {
       parted.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val off = bcOffsets.value(pid)
-        val segId = pid / partsPerSeg
+        val segId = segBase + pid / partsPerSeg
         var i = -1L
         it.map { case (url, lang, text) =>
           i += 1
@@ -163,7 +166,7 @@ object IndexBuilder {
     runStage(postingsPath) {
       parted.mapPartitions { it =>
         spimi(it, TaskContext.getPartitionId(), bcOffsets.value, partsPerSeg,
-          bcHot.value, numSalts, stopSet, maxLen)
+          segBase, bcHot.value, numSalts, stopSet, maxLen)
       }
         .repartitionByRange(cfg.numPartitions, col("segId"), col("term"), col("salt"))
         .sortWithinPartitions("segId", "term", "salt", "firstDocId")
@@ -227,10 +230,10 @@ object IndexBuilder {
     * salt tagging. Docs arrive in docId order, so per-term postings are
     * built already sorted. */
   private def spimi(docs: Iterator[(String, String, String)], pid: Int,
-                    offsets: Array[Long], partsPerSeg: Int,
+                    offsets: Array[Long], partsPerSeg: Int, segBase: Int,
                     hot: Set[String], numSalts: Int,
                     stopSet: Set[String], maxLen: Int): Iterator[Run] = {
-    val segId = pid / partsPerSeg
+    val segId = segBase + pid / partsPerSeg
     val salt = (pid % partsPerSeg) * numSalts / partsPerSeg
     val inv = new java.util.HashMap[String, PostingsBuf]()
     val perDoc = new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]()

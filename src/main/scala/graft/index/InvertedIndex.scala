@@ -7,11 +7,23 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import graft.model.{DocRow, PostingsRow}
 import graft.search.Bm25Stats
 
+/** A queryable view of an index: the contract the search paths
+  * (Searcher, RelationalPath, IndexTermDict, CheckIndex) depend on —
+  * satisfied by a single committed directory (InvertedIndex) or a union
+  * of streamed generations (GenerationalIndex). */
+trait IndexView {
+  def spark: SparkSession
+  def stats: Bm25Stats
+  def postings: Dataset[PostingsRow]
+  def docs: Dataset[DocRow]
+  def termStats: DataFrame
+}
+
 /** Read handle over a committed index directory (manifest.json present).
   * The IndexSearcher-side analogue of a Lucene `DirectoryReader` over a
   * `segments_N` commit point [U lucene/core/.../index/SegmentInfos.java,
   * DirectoryReader]. */
-final class InvertedIndex(val spark: SparkSession, val dir: String) {
+final class InvertedIndex(val spark: SparkSession, val dir: String) extends IndexView {
   import spark.implicits._
 
   val manifest: String =

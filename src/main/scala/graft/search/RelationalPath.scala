@@ -21,8 +21,9 @@ import graft.util.VarInt
   * Float32-exact scoring lives in the scorer path; ScalaTest asserts
   * both paths agree on ranks.
   */
-final class RelationalPath(idx: InvertedIndex) {
-  import idx.spark.implicits._
+final class RelationalPath(idx: graft.index.IndexView) {
+  private val session = idx.spark
+  import session.implicits._
 
   /** Decoded tf table: (term, docId, tf). Typed flatMap over block
     * binaries; Catalyst prunes the scan to the filtered terms when a

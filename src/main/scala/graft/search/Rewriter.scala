@@ -18,9 +18,10 @@ trait TermDict {
   * — the role of the reference's block-tree terms index
   * [U lucene/core/.../codecs/blocktree/ + util/automaton/ for the
   * matchers; Parquet stats replace the FST, SURVEY.md §2.4]. */
-final class IndexTermDict(idx: InvertedIndex, maxExpansions: Int = 10000)
+final class IndexTermDict(idx: graft.index.IndexView, maxExpansions: Int = 10000)
     extends TermDict {
-  import idx.spark.implicits._
+  private val session = idx.spark
+  import session.implicits._
 
   private def run(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val terms = df.select("term").orderBy("term")

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.index.InvertedIndex
+import graft.index.IndexView
 import graft.model.{Block, DocRow, PostingsRow}
 
 /** Per-query immutable context broadcast to executors: collection stats
@@ -28,8 +28,9 @@ final case class ScoringContext(stats: Bm25Stats,
   * into one Spark plan [U …/search/TopScoreDocCollector.java,
   * TopDocs#merge, WANDScorer.java]. Per-segment top-k ⊇ global top-k
   * members because scores depend only on broadcast global stats. */
-final class Searcher(idx: InvertedIndex) extends Serializable {
-  import idx.spark.implicits._
+final class Searcher(idx: graft.index.IndexView) extends Serializable {
+  private val session = idx.spark
+  import session.implicits._
 
   private def context(q: Query): ScoringContext = {
     val terms = Query.collectTerms(q)
@@ -51,7 +52,6 @@ final class Searcher(idx: InvertedIndex) extends Serializable {
     * winners are fetched with a docId-pushdown scan + broadcast join —
     * no Spark-side global sort, no full docs-table scan. */
   def topK(q: Query, k: Int): DataFrame = {
-    import idx.spark.implicits._
     val merged: Array[(Long, Float)] = scoredHits(q, k).collect()
       .sortBy { case (d, s) => (-s, d) }
       .take(k)

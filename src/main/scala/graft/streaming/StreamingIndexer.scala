@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.index.{IndexBuilder, IndexConfig, IndexView, InvertedIndex}
+import graft.model.{DocRow, Page, PostingsRow}
+import graft.search.Bm25Stats
+
+/** Incremental (near-real-time) indexing via Structured Streaming —
+  * the analogue of the reference's NRT soft-commit pipeline
+  * [U solr DirectUpdateHandler2 / lucene DirectoryReader#openIfChanged,
+  * SURVEY.md §2.9]: each micro-batch is built into an immutable index
+  * GENERATION (a set of segments, exactly like an IndexWriter flush),
+  * and a generation manifest (`generations.json`) is committed
+  * atomically last — new searchers see the new generation, running
+  * searchers keep their snapshot. Batch replay after failure is
+  * idempotent: a generation already in the manifest is skipped, and the
+  * per-generation build resumes stage-wise (IndexBuilder semantics).
+  *
+  * Within-batch duplicate urls collapse last-writer-wins by `warc_ts`
+  * (the `_version_` ordering analogue
+  * [U solr/core/.../update/VersionInfo.java]); cross-generation
+  * overwrites need tombstone compaction — a later phase (SURVEY.md
+  * §2.3 deletes row).
+  */
+object StreamingIndexer {
+
+  private def manifestPath(dir: String) = Paths.get(dir, "generations.json")
+
+  /** (genId, docCount) pairs from the streaming manifest. */
+  def generations(dir: String): Seq[(Long, Long)] = {
+    val p = manifestPath(dir)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      """\{"gen":(\d+),"docs":(\d+)\}""".r.findAllMatchIn(s)
+        .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+    }
+  }
+
+  /** Append one micro-batch as a new generation (idempotent on replay). */
+  def appendGeneration(spark: SparkSession, batch: Dataset[Page], dir: String,
+                       genId: Long, cfg: IndexConfig): Unit = {
+    val gens = generations(dir)
+    if (gens.exists(_._1 == genId)) return // replayed batch — committed
+    val docIdBase = gens.map(_._2).sum
+    val segIdBase = (genId * 1000000L).toInt
+
+    // within-batch last-writer-wins by (url, warc_ts desc) — _version_
+    val w = Window.partitionBy("url").orderBy(desc("warc_ts"))
+    import spark.implicits._
+    val deduped = batch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn").as[Page]
+
+    val genDir = s"$dir/gen-$genId"
+    val idx = IndexBuilder.build(spark, deduped, genDir,
+      cfg.copy(docIdBase = docIdBase, segIdBase = segIdBase))
+
+    val newGens = gens :+ (genId, idx.stats.docCount)
+    val json = newGens.map { case (g, n) => s"""{"gen":$g,"docs":$n}""" }
+      .mkString("[", ",", "]")
+    val tmp = Paths.get(dir, ".generations.json.tmp")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(dir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Start the streaming build: pages stream → per-batch generation
+    * append. `commitWithin` maps to the processing-time trigger
+    * [U solr/core/.../update/CommitTracker.java]. */
+  def start(pagesStream: Dataset[Page], dir: String,
+            cfg: IndexConfig = IndexConfig(),
+            trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    pagesStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
+        appendGeneration(batch.sparkSession, batch, dir, batchId, cfg)
+      }
+      .start()
+}
+
+/** Union read view over all committed generations — what a reopened
+  * NRT reader sees [U lucene/core/.../index/DirectoryReader#openIfChanged].
+  * Collection statistics are the union's (so BM25 weights reflect the
+  * whole corpus, like a reopened IndexSearcher); per-generation block
+  * metadata (maxTf/minNorm) stays valid because query-time score bounds
+  * are computed against the CURRENT stats cache. */
+final class GenerationalIndex(val spark: SparkSession, dir: String) extends IndexView {
+  import spark.implicits._
+
+  private val gens: Seq[(Long, Long)] = StreamingIndexer.generations(dir)
+  require(gens.nonEmpty, s"no committed generations under $dir")
+  private def genDirs: Seq[String] = gens.map { case (g, _) => s"$dir/gen-$g" }
+
+  val stats: Bm25Stats = {
+    val per = genDirs.map(d => InvertedIndex.open(spark, d).stats)
+    Bm25Stats(per.map(_.docCount).sum, per.map(_.sumTotalTermFreq).sum)
+  }
+
+  def postings: Dataset[PostingsRow] =
+    spark.read.parquet(genDirs.map(d => s"$d/postings"): _*).as[PostingsRow]
+
+  def docs: Dataset[DocRow] =
+    spark.read.parquet(genDirs.map(d => s"$d/docs"): _*).as[DocRow]
+
+  /** Union df/ttf — aggregated across generations (exact). */
+  def termStats: DataFrame =
+    spark.read.parquet(genDirs.map(d => s"$d/termstats"): _*)
+      .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
+}

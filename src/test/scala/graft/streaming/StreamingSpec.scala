@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.index.{CheckIndex, IndexConfig}
+import graft.model.Page
+import graft.search._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incremental indexing: two micro-batches → two generations; the union
+  * view must agree with a SpecOracle over the full corpus (df/stats
+  * exact; scores by url identical), and batch replay must be
+  * idempotent. */
+class StreamingSpec extends SparkSpec {
+
+  private def page(i: Int, text: String, ts: String = "2025-10-24 00:00:00") =
+    Page(f"https://s/$i%04d", java.sql.Timestamp.valueOf(ts),
+      s"<p>$text</p>".getBytes, text, "en")
+
+  private val batch1 = Seq(
+    page(0, "spark join merge"), page(1, "spark spark batch"),
+    page(2, "the window sort"))
+  private val batch2 = Seq(
+    page(3, "join batch batch window"), page(4, "spark merge sort the"))
+
+  test("two generations: stats union + search over both batches") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val mem = MemoryStream[Page]
+    mem.addData(batch1: _*)
+    val query = StreamingIndexer.start(mem.toDS(), dir,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1),
+      Trigger.AvailableNow())
+    query.processAllAvailable()
+    query.stop()
+
+    mem.addData(batch2: _*)
+    val q2 = StreamingIndexer.start(mem.toDS(), dir,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1),
+      Trigger.AvailableNow())
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(StreamingIndexer.generations(dir).size >= 2)
+
+    val idx = new GenerationalIndex(spark, dir)
+    val all = batch1 ++ batch2
+    val oracle = new SpecOracle(all.map(p => (p.url, p.text, p.lang)))
+
+    // union collection stats == full-corpus oracle
+    assert(idx.stats.docCount === oracle.docCount)
+    assert(idx.stats.sumTotalTermFreq === oracle.sumTotalTermFreq)
+
+    // df/ttf per term == oracle
+    val ts = idx.termStats.as[(String, Long, Long)].collect()
+    ts.foreach { case (t, df, ttf) =>
+      assert(df === oracle.df(t), s"df($t)")
+      assert(ttf === oracle.ttf(t), s"ttf($t)")
+    }
+
+    // structural audit across generations (docIds dense across gens)
+    assert(CheckIndex.audit(idx).isEmpty)
+
+    // search sees docs from BOTH batches; scores (url-keyed) match the
+    // full-corpus oracle (docIds differ in ASSIGNMENT order but stats
+    // and per-doc lengths are identical)
+    val searcher = new Searcher(idx)
+    val got = searcher.topK(TermQ("batch"), 10).collect()
+      .map(r => (r.getString(2), r.getFloat(3))).toMap
+    val expected = oracle.topK(TermQ("batch"), 10)
+      .map { case (_, _, url, s) => url -> s }.toMap
+    assert(got === expected)
+    assert(got.keySet.exists(_.endsWith("0001")) && got.keySet.exists(_.endsWith("0003")))
+  }
+
+  test("replayed batch is idempotent") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    import spark.implicits._
+    StreamingIndexer.appendGeneration(spark, batch1.toDS(), dir, 0L,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    val before = StreamingIndexer.generations(dir)
+    // replay the same batch id — must be a no-op
+    StreamingIndexer.appendGeneration(spark, batch1.toDS(), dir, 0L,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    assert(StreamingIndexer.generations(dir) === before)
+    val idx = new GenerationalIndex(spark, dir)
+    assert(idx.stats.docCount === batch1.size)
+  }
+
+  test("within-batch duplicate urls collapse last-writer-wins") {
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    import spark.implicits._
+    val dup = Seq(
+      page(7, "old text version", "2025-10-24 00:00:00"),
+      page(7, "new text version wins", "2025-10-24 01:00:00"))
+    StreamingIndexer.appendGeneration(spark, dup.toDS(), dir, 0L,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    val idx = new GenerationalIndex(spark, dir)
+    assert(idx.stats.docCount === 1L)
+    val hits = new Searcher(idx).topK(TermQ("wins"), 10).collect()
+    assert(hits.length === 1)
+  }
+}
