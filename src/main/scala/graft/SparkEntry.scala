@@ -88,6 +88,9 @@ object SparkEntry {
     "ir_q13_fuzzy" -> ((s, d) => rel(s, d).fuzzyTopK("spork", 1, 10)),
     "ir_q14_dismax" -> ((s, d) => rel(s, d).dismaxTopK(Seq("spark", "merge"), 0.3, 10)),
     "ir_q15_boost" -> ((s, d) => rel(s, d).boostedOrTopK(Seq("spark" -> 2.0, "merge" -> 1.0), 10)),
+    "ir_q16_page2" -> ((s, d) => rel(s, d).termPage("spark", 11, 20)),
+    "ir_q17_collapse" -> ((s, d) => rel(s, d).collapseByLang("spark")),
+    "ir_q18_facet" -> ((s, d) => rel(s, d).facetByLang("spark")),
     // ---- training-data pipeline: dedup (§prompt) ----
     "dd_exact" -> ((s, d) => Dedup.exactGroups(docsTable(s, d)).orderBy("keep_id")),
     "dd_ngram_jaccard" -> ((s, d) =>
@@ -236,6 +239,23 @@ object SparkEntry {
       "SELECT doc_id, max(score) + 0.3 * (sum(score) - max(score)) AS s FROM scored WHERE term IN ('spark','merge') GROUP BY doc_id"),
     "ir_q15_boost" -> topkSql(
       "SELECT doc_id, sum(score * (CASE term WHEN 'spark' THEN 2.0 ELSE 1.0 END)) AS s FROM scored WHERE term IN ('spark','merge') GROUP BY doc_id"),
+    "ir_q16_page2" ->
+      s"""$bm25Cte, sel AS (SELECT doc_id, score AS s FROM scored WHERE term = 'spark')
+         |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+         |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
+         |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
+         |WHERE rank BETWEEN 11 AND 20 ORDER BY rank""".stripMargin,
+    "ir_q17_collapse" ->
+      s"""$bm25Cte, sel AS (SELECT s1.doc_id, s1.score AS s, d.lang, d.source AS src
+         |  FROM scored s1 JOIN documents d USING (doc_id) WHERE s1.term = 'spark')
+         |SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY s DESC, src ASC, doc_id ASC) AS rn
+         |  FROM sel) WHERE rn = 1 ORDER BY lang""".stripMargin,
+    "ir_q18_facet" ->
+      s"""$bm25Cte
+         |SELECT d.lang, count(*)::BIGINT AS n FROM scored s1
+         |JOIN documents d USING (doc_id) WHERE s1.term = 'spark'
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "dd_exact" ->
       """SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -1,0 +1,119 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delete-by-term / delete-by-key tombstones + compaction — the
+  * analogue of the reference's live-docs bitsets and merge-time
+  * reclamation [U lucene/core/.../index/PendingDeletes.java, the `.liv`
+  * files, IndexWriter#deleteDocuments; SURVEY.md §2.3].
+  *
+  * Tombstones are an append-only parquet of deleted docIds next to the
+  * index; queries subtract them INSIDE the per-segment scorer (so a
+  * deleted doc never occupies a top-k slot) and the relational path
+  * anti-joins them. `compact` rewrites postings/docs dropping deleted
+  * docs (docIds stay stable, as in a Lucene merge without renumbering
+  * — renumbering would invalidate nothing here but is unnecessary). */
+object Deletes {
+
+  def tombstonePath(dir: String): String = s"$dir/tombstones"
+
+  def hasTombstones(dir: String): Boolean =
+    Files.exists(Paths.get(tombstonePath(dir), "_SUCCESS"))
+
+  /** Current tombstoned docIds (empty if none). */
+  def tombstones(spark: SparkSession, dir: String): Dataset[java.lang.Long] = {
+    import spark.implicits._
+    if (!hasTombstones(dir)) spark.emptyDataset[java.lang.Long]
+    else spark.read.parquet(tombstonePath(dir)).select("docId")
+      .as[java.lang.Long]
+  }
+
+  /** Tombstone docs by unique key (url) — the reference's
+    * deleteDocuments(term on the uniqueKey field). Appends. */
+  def deleteByUrl(idx: InvertedIndex, urls: Seq[String]): Unit = {
+    val doomed = idx.docs.filter(col("url").isin(urls: _*)).select("docId")
+    doomed.write.mode("append").parquet(tombstonePath(idx.dir))
+  }
+
+  /** Tombstone every doc matching an arbitrary docs-table predicate
+    * (delete-by-query). */
+  def deleteWhere(idx: InvertedIndex, pred: org.apache.spark.sql.Column): Unit =
+    idx.docs.filter(pred).select("docId")
+      .write.mode("append").parquet(tombstonePath(idx.dir))
+
+  /** Rewrite the index dropping tombstoned docs: postings rows are
+    * decoded, filtered and re-blocked; docs rows dropped; stats and
+    * term stats recomputed; manifest generation bumped; tombstones
+    * cleared. A merge-policy compaction in one pass. */
+  def compact(idx: InvertedIndex): InvertedIndex = {
+    val spark = idx.spark
+    import spark.implicits._
+    val dir = idx.dir
+    if (!hasTombstones(dir)) return idx
+
+    val doomed = tombstones(spark, dir).collect().map(_.toLong).toSet
+    val bcDoomed = spark.sparkContext.broadcast(doomed)
+
+    val newDocs = idx.docs.filter(!col("docId").isin(doomed.toSeq: _*))
+    val stats = newDocs.agg(count(lit(1)), sum("dl").cast("long"))
+      .as[(Long, Long)].head()
+    val bm = graft.search.Bm25Stats(stats._1, stats._2)
+    val bcStats = spark.sparkContext.broadcast(bm)
+
+    val newPostings = idx.postings.flatMap { r =>
+      val dead = bcDoomed.value
+      val kept = r.blocks.flatMap { b =>
+        val docs = graft.util.VarInt.decodeDeltas(b.docs, b.count, b.firstDocId)
+        val tfs = graft.util.VarInt.decodeInts(b.tfs, b.count)
+        val pos = graft.util.VarInt.decodePositions(b.positions, tfs)
+        docs.indices.collect {
+          case i if !dead.contains(docs(i)) =>
+            (docs(i), tfs(i), b.norms(i), pos(i))
+        }
+      }
+      if (kept.isEmpty) Iterator.empty
+      else Iterator.single(
+        IndexBuilder.reblock(r.segId, r.term, r.salt, kept, bcStats.value))
+    }
+
+    // write compacted tables to new dirs, then swap via manifest rewrite
+    newPostings.toDF().write.mode("overwrite").parquet(s"$dir/postings2")
+    newDocs.write.mode("overwrite").parquet(s"$dir/docs2")
+    newPostings.toDF().groupBy("term")
+      .agg(sum("df").as("df"), sum("ttf").as("ttf"))
+      .write.mode("overwrite").parquet(s"$dir/termstats2")
+
+    // atomic-ish swap (directory renames; manifest written last)
+    def swap(name: String): Unit = {
+      val old = Paths.get(dir, name)
+      val tmp = Paths.get(dir, s"$name.old")
+      Files.move(old, tmp)
+      Files.move(Paths.get(dir, s"${name}2"), old)
+      deleteRecursive(tmp)
+    }
+    swap("postings"); swap("docs"); swap("termstats")
+    deleteRecursive(Paths.get(tombstonePath(dir)))
+
+    val manifest = new String(Files.readAllBytes(Paths.get(dir, "manifest.json")))
+    val gen = """"generation":\s*(\d+)""".r.findFirstMatchIn(manifest)
+      .map(_.group(1).toLong).getOrElse(1L)
+    val updated = manifest
+      .replaceAll(""""generation":\s*\d+""", s""""generation": ${gen + 1}""")
+      .replaceAll(""""docCount":\s*\d+""", s""""docCount": ${bm.docCount}""")
+      .replaceAll(""""sumTotalTermFreq":\s*\d+""", s""""sumTotalTermFreq": ${bm.sumTotalTermFreq}""")
+    val tmp = Paths.get(dir, ".manifest.json.tmp")
+    Files.write(tmp, updated.getBytes)
+    Files.move(tmp, Paths.get(dir, "manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    InvertedIndex.open(spark, dir)
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+}

@@ -323,6 +323,20 @@ object IndexBuilder {
     }
   }
 
+  /** Re-block decoded postings (compaction path): same block layout and
+    * block-max metadata as the primary build. */
+  def reblock(segId: Int, term: String, salt: Int,
+              postings: Seq[(Long, Int, Byte, Array[Int])],
+              stats: Bm25Stats, blockSize: Int = 128): PostingsRow = {
+    val cache = BM25.buildCache(stats.avgdl)
+    val n = postings.length
+    val docIds = postings.map(_._1).toArray
+    val tfs = postings.map(_._2).toArray
+    val norms = postings.map(_._3).toArray
+    val pos = postings.map(_._4).toArray
+    packBlocks(segId, term, salt, docIds, tfs, norms, pos, cache, blockSize)
+  }
+
   private def buildRow(group: mutable.ArrayBuffer[Run], head: Run,
                        cache: Array[Float], blockSize: Int): PostingsRow = {
     val n = group.iterator.map(_.count).sum
@@ -341,6 +355,17 @@ object IndexBuilder {
       System.arraycopy(pos, 0, positions, o, pos.length)
       o += r.count
     }
+    packBlocks(head.segId, head.term, head.salt, docIds, tfs, norms,
+      positions, cache, blockSize)
+  }
+
+  /** Chunk one term's postings into 128-entry blocks with block-max
+    * metadata (shared by merge and compaction). */
+  private def packBlocks(segId: Int, term: String, salt: Int,
+                         docIds: Array[Long], tfs: Array[Int],
+                         norms: Array[Byte], positions: Array[Array[Int]],
+                         cache: Array[Float], blockSize: Int): PostingsRow = {
+    val n = docIds.length
     val blocks = Vector.newBuilder[Block]
     var start = 0
     var ttf = 0L
@@ -375,8 +400,7 @@ object IndexBuilder {
         positions = VarInt.encodePositions(bPos))
       start = end
     }
-    PostingsRow(head.segId, head.term, head.salt, n.toLong, ttf,
-      blocks.result())
+    PostingsRow(segId, term, salt, n.toLong, ttf, blocks.result())
   }
 
   private def manifestJson(stats: CollStats, segs: Array[SegmentInfo],

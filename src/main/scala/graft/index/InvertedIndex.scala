@@ -17,6 +17,10 @@ trait IndexView {
   def postings: Dataset[PostingsRow]
   def docs: Dataset[DocRow]
   def termStats: DataFrame
+  /** Tombstoned docIds (live-docs complement); default: none. */
+  def hasDeletes: Boolean = false
+  def tombstones: Dataset[java.lang.Long] =
+    spark.emptyDataset(org.apache.spark.sql.Encoders.LONG)
 }
 
 /** Read handle over a committed index directory (manifest.json present).
@@ -51,6 +55,9 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
     .getOrElse(spark.read.parquet(s"$dir/termstats"))
 
   def lineage: DataFrame = spark.read.parquet(s"$dir/lineage")
+
+  override def hasDeletes: Boolean = Deletes.hasTombstones(dir)
+  override def tombstones: Dataset[java.lang.Long] = Deletes.tombstones(spark, dir)
 
   /** Pin the segment tables in executor memory and materialize them —
     * the analogue of a warm MMapDirectory + preloaded norms in the

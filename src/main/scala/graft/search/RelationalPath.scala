@@ -41,10 +41,15 @@ final class RelationalPath(idx: graft.index.IndexView) {
     }
   }
 
-  /** docs with the original doc_id recovered from the url. */
-  def docsWithId: DataFrame =
-    idx.docs.withColumn("doc_id",
+  /** docs with the original doc_id recovered from the url; tombstoned
+    * docs subtracted (anti join — the relational live-docs filter). */
+  def docsWithId: DataFrame = {
+    val base = idx.docs.withColumn("doc_id",
       element_at(split(col("url"), "/"), -1).cast("long"))
+    if (idx.hasDeletes)
+      base.join(idx.tombstones.toDF("docId"), Seq("docId"), "left_anti")
+    else base
+  }
 
   private def avgdlD: Double = idx.stats.sumTotalTermFreq.toDouble / idx.stats.docCount
 
@@ -159,6 +164,35 @@ final class RelationalPath(idx: graft.index.IndexView) {
         .agg(sum("ws").as("s"))
         .select(col("docId"), col("doc_id"), col("s")), k)
   }
+
+  /** Deep paging: ranks [lo, hi] of a term query (searchAfter). */
+  def termPage(term: String, lo: Int, hi: Int): DataFrame =
+    scoredTf(Seq(term))
+      .select(col("docId"), col("doc_id"), col("score").as("s"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("s"), asc("docId"))))
+      .filter(col("rank").between(lo, hi))
+      .select(col("rank").cast("int").as("rank"), col("doc_id"))
+      .orderBy("rank")
+
+  /** Collapse: best-scoring doc per group key (lang) for a term query
+    * [U solr CollapsingQParserPlugin]. */
+  def collapseByLang(term: String): DataFrame =
+    scoredTf(Seq(term))
+      .join(idx.docs.select(col("docId"), col("lang")), "docId")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("score"), asc("docId"))))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang")
+
+  /** Field facet over the result set: matching-doc counts per lang
+    * [U solr facet module / FacetField]. */
+  def facetByLang(term: String): DataFrame =
+    scoredTf(Seq(term))
+      .join(idx.docs.select(col("docId"), col("lang")), "docId")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
 
   /** Exact-phrase matching docs (ascending doc_id), two-phase:
     * conjunction candidates, then position verification. */

@@ -51,10 +51,25 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
     * comparator (TopDocs.merge), then stored fields for just the k
     * winners are fetched with a docId-pushdown scan + broadcast join —
     * no Spark-side global sort, no full docs-table scan. */
-  def topK(q: Query, k: Int): DataFrame = {
-    val merged: Array[(Long, Float)] = scoredHits(q, k).collect()
+  def topK(q: Query, k: Int): DataFrame =
+    rankedResult(scoredHits(q, k).collect()
       .sortBy { case (d, s) => (-s, d) }
-      .take(k)
+      .take(k))
+
+  /** Deep paging: top-k strictly AFTER a (score, docId) cursor —
+    * `IndexSearcher#searchAfter` [U …/search/PagingTopScoreDocCollector]:
+    * the cursor predicate is applied at heap-insert time inside every
+    * segment, so page-n docs can never be crowded out by page-(n-1)
+    * docs. */
+  def topKAfter(q: Query, k: Int, afterScore: Float, afterDoc: Long): DataFrame = {
+    val merged: Array[(Long, Float)] =
+      scoredHits(q, k, Some((afterScore, afterDoc))).collect()
+        .sortBy { case (d, s) => (-s, d) }
+        .take(k)
+    rankedResult(merged)
+  }
+
+  private def rankedResult(merged: Array[(Long, Float)]): DataFrame = {
     if (merged.isEmpty) {
       return idx.spark.emptyDataset[(Int, Long, String, Float)]
         .toDF("rank", "docId", "url", "score")
@@ -73,7 +88,8 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
   /** All scored hits of `q`, unranked (k caps per-segment emission when
     * > 0; pass k <= 0 for exhaustive evaluation). Multi-term queries
     * are expanded against the term dictionary first (Query#rewrite). */
-  def scoredHits(q0: Query, k: Int): Dataset[(Long, Float)] = {
+  def scoredHits(q0: Query, k: Int,
+                 after: Option[(Float, Long)] = None): Dataset[(Long, Float)] = {
     val q = Rewriter.rewrite(q0, new IndexTermDict(idx))
     val ctx = context(q)
     val bcCtx = idx.spark.sparkContext.broadcast(ctx)
@@ -84,15 +100,26 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
       if (terms.isEmpty) idx.postings.limit(0)
       else idx.postings.filter(col("term").isin(terms: _*))
     val kk = k
-    if (Query.needsDocs(q)) {
-      val docsLite = idx.docs.select("segId", "docId", "lang").as[(Int, Long, String)]
+    // deletes are subtracted INSIDE the per-segment scorer (a deleted
+    // doc must not occupy a top-k slot), via the docs cogroup path
+    if (Query.needsDocs(q) || idx.hasDeletes) {
+      val base = idx.docs.select(col("segId"), col("docId"), col("lang"))
+      val docsLite = (if (idx.hasDeletes)
+        base.join(idx.tombstones.toDF("docId").withColumn("del", lit(true)),
+          Seq("docId"), "left")
+          .select(col("segId"), col("docId"), col("lang"),
+            coalesce(col("del"), lit(false)).as("del"))
+      else base.withColumn("del", lit(false)))
+        .as[(Int, Long, String, Boolean)]
+      val aft = after
       rows.groupByKey(_.segId)
         .cogroup(docsLite.groupByKey(_._1)) { (segId, ps, ds) =>
-          SegmentScorer.score(bcQ.value, bcCtx.value, ps, Some(ds), kk)
+          SegmentScorer.score(bcQ.value, bcCtx.value, ps, Some(ds), kk, aft)
         }
     } else {
+      val aft = after
       rows.groupByKey(_.segId).flatMapGroups { (segId, ps) =>
-        SegmentScorer.score(bcQ.value, bcCtx.value, ps, None, kk)
+        SegmentScorer.score(bcQ.value, bcCtx.value, ps, None, kk, aft)
       }
     }
   }
@@ -105,8 +132,9 @@ object SegmentScorer {
     * (k <= 0 → all hits). `docsIt` present only for attribute filters. */
   def score(q: Query, ctx: ScoringContext,
             postings: Iterator[PostingsRow],
-            docsIt: Option[Iterator[(Int, Long, String)]],
-            k: Int): Iterator[(Long, Float)] = {
+            docsIt: Option[Iterator[(Int, Long, String, Boolean)]],
+            k: Int,
+            after: Option[(Float, Long)] = None): Iterator[(Long, Float)] = {
     // term → salt-ordered concatenated blocks
     val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingsRow]]
     postings.foreach { r =>
@@ -117,7 +145,8 @@ object SegmentScorer {
       case (t, rows) => t -> rows.sortBy(_.salt).flatMap(_.blocks).toIndexedSeq
     }.toMap
 
-    // attribute bitsets (lang) — 1 bit per segment doc
+    // attribute bitsets (lang) + deleted-docs bitset — 1 bit per seg doc
+    var deleted: Option[(java.util.BitSet, Long)] = None
     val langBits: Map[String, (java.util.BitSet, Long)] = docsIt match {
       case None => Map.empty
       case Some(it) =>
@@ -126,10 +155,14 @@ object SegmentScorer {
         else {
           val minDoc = rows.iterator.map(_._2).min
           val byLang = mutable.HashMap.empty[String, java.util.BitSet]
-          rows.foreach { case (_, docId, lang) =>
+          val delBits = new java.util.BitSet()
+          var anyDel = false
+          rows.foreach { case (_, docId, lang, del) =>
             byLang.getOrElseUpdate(lang, new java.util.BitSet())
               .set((docId - minDoc).toInt)
+            if (del) { delBits.set((docId - minDoc).toInt); anyDel = true }
           }
+          if (anyDel) deleted = Some((delBits, minDoc))
           byLang.iterator.map { case (l, b) => l -> (b, minDoc) }.toMap
         }
     }
@@ -139,17 +172,31 @@ object SegmentScorer {
       if (!pureFilter(q)) return Iterator.empty
     }
 
-    val scorer = compile(q, ctx, termBlocks, langBits)
+    val scorer0 = compile(q, ctx, termBlocks, langBits)
+    // live-docs filter: required-but-not-scoring exclusion of tombstones
+    // [U …/search/ReqExclScorer + the .liv bitset]
+    val scorer = deleted match {
+      case Some((bits, minDoc)) =>
+        new BoolScorer(IndexedSeq(scorer0), IndexedSeq.empty, IndexedSeq.empty,
+          IndexedSeq(new BitsetScorer(bits, minDoc)), 0)
+      case None => scorer0
+    }
+
+    // searchAfter cursor: only (s, d) strictly after the cursor qualify
+    val accept: (Long, Float) => Boolean = after match {
+      case None => (_, _) => true
+      case Some((as, ad)) => (d, s) => s < as || (s == as && d > ad)
+    }
 
     q match {
       case BoolQ(must, should, Nil, Nil, mm)
-        if must.isEmpty && should.nonEmpty && k > 0 &&
+        if must.isEmpty && should.nonEmpty && k > 0 && deleted.isEmpty &&
           should.forall(_.isInstanceOf[TermQ]) =>
         wandTopK(should.map(s => termScorer(s.asInstanceOf[TermQ].term, ctx, termBlocks)).toIndexedSeq,
-          math.max(mm, 1), k)
-      case TermQ(_) if k > 0 =>
-        termTopK(scorer.asInstanceOf[TermScorer], k)
-      case _ => exhaustive(scorer, k)
+          math.max(mm, 1), k, accept)
+      case TermQ(_) if k > 0 && deleted.isEmpty =>
+        termTopK(scorer.asInstanceOf[TermScorer], k, accept)
+      case _ => exhaustive(scorer, k, accept)
     }
   }
 
@@ -205,11 +252,13 @@ object SegmentScorer {
   /** Single-term top-k with block-max skipping: once the heap is full,
     * whole blocks whose bound can't beat the threshold are never decoded
     * [U …/search/ImpactsDISI.java]. */
-  private def termTopK(ts: TermScorer, k: Int): Iterator[(Long, Float)] = {
+  private def termTopK(ts: TermScorer, k: Int,
+                       accept: (Long, Float) => Boolean): Iterator[(Long, Float)] = {
     val heap = new TopKHeap(k)
     var d = ts.nextDoc()
     while (d != Scorers.DONE) {
-      heap.insert(d, ts.score())
+      val s = ts.score()
+      if (accept(d, s)) heap.insert(d, s)
       d = if (heap.isFull) ts.nextCompetitive(heap.threshold) else ts.nextDoc()
     }
     heap.results().iterator
@@ -220,8 +269,8 @@ object SegmentScorer {
     * score bounds first exceed the heap threshold, fully evaluate only
     * pivot-aligned docs. Upper bounds go through the same float kernel
     * as real scores, so pruning is exact. */
-  private def wandTopK(scorers0: IndexedSeq[TermScorer], mm: Int,
-                       k: Int): Iterator[(Long, Float)] = {
+  private def wandTopK(scorers0: IndexedSeq[TermScorer], mm: Int, k: Int,
+                       accept: (Long, Float) => Boolean = (_, _) => true): Iterator[(Long, Float)] = {
     val heap = new TopKHeap(k)
     val scorers = scorers0.filter(_.cost > 0).toArray
     if (scorers.length < mm || scorers.isEmpty) return Iterator.empty
@@ -266,7 +315,7 @@ object SegmentScorer {
             if (scorers(c).doc == pivotDoc) sc += scorers(c).score()
             c += 1
           }
-          heap.insert(pivotDoc, sc)
+          if (accept(pivotDoc, sc)) heap.insert(pivotDoc, sc)
         }
         var j2 = 0
         while (j2 < scorers.length) {
@@ -285,12 +334,14 @@ object SegmentScorer {
     heap.results().iterator // unreachable; loop exits via returns
   }
 
-  private def exhaustive(s: DocScorer, k: Int): Iterator[(Long, Float)] = {
+  private def exhaustive(s: DocScorer, k: Int,
+                         accept: (Long, Float) => Boolean = (_, _) => true): Iterator[(Long, Float)] = {
     if (k > 0) {
       val heap = new TopKHeap(k)
       var d = s.nextDoc()
       while (d != Scorers.DONE) {
-        heap.insert(d, s.score())
+        val sc = s.score()
+        if (accept(d, sc)) heap.insert(d, sc)
         d = s.nextDoc()
       }
       heap.results().iterator

