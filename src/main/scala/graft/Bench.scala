@@ -37,6 +37,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
+      // straggler mitigation — on an oversubscribed host (or a real
+      // 1000-executor cluster) any stage barrier waits for its slowest
+      // task; speculative re-execution bounds that wait
+      .config("spark.speculation", "true")
+      .config("spark.speculation.multiplier", "2")
+      .config("spark.speculation.quantile", "0.75")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -68,7 +75,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "8").toInt
     val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "0") == "1"
-    val benchRoot = "/root/repo/target/bench-index"
+    // SPARK_GRAFT_TMPFS=1: put shuffle + index on tmpfs so the scaling
+    // measurement isolates compute (one shared local disk does not
+    // scale with threads; per-executor disks on a real cluster do)
+    val benchRoot = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
+      "/root/repo/target/bench-index")
 
     if (scaling) {
       // same input, same partitioning — only executor-thread count varies

@@ -1,0 +1,63 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions (the `.explain("formatted")` discipline):
+  * predicate pushdown reaches the parquet scans, small sides broadcast,
+  * aggregations are partial+final, projections prune columns. These
+  * are the properties that keep the plans viable at 100 TB. */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val idx = SparkEntry.index(spark, sfDir)
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("term predicate is pushed into the postings parquet scan") {
+    val p = plan(idx.postings.filter(col("term") === "spark").toDF())
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("EqualTo(term,spark)"), p.take(2000))
+  }
+
+  test("term-dictionary prefix lookup pushes StringStartsWith") {
+    val p = plan(idx.termStats.filter(col("term").startsWith("sp")))
+    assert(p.contains("StringStartsWith(term,sp)"), p.take(2000))
+  }
+
+  test("stored-fields fetch pushes docId IN-filter into the docs scan") {
+    val p = plan(idx.docs.filter(col("docId").isin(1L, 2L, 3L)).toDF())
+    assert(p.contains("In(docId"), p.take(2000))
+  }
+
+  test("scoring join broadcasts the tiny stats side") {
+    val rel = new RelationalPath(idx)
+    val p = plan(rel.scoredTf(Seq("spark")))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+  }
+
+  test("facet aggregation is partial+final hash aggregate") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val p = plan(df)
+    // two HashAggregate operators (partial on map side, final after
+    // exchange) — map-side combine is what keeps 100 TB groupBys viable
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    // partial agg BELOW the exchange (map-side combine), final above
+    val ix = p.indexOf("Exchange")
+    assert(ix > 0 && p.take(ix).contains("HashAggregate") &&
+      p.drop(ix).contains("HashAggregate"), p.take(3000))
+  }
+
+  test("postings scan prunes columns (term stats never read blocks)") {
+    val p = plan(idx.termStats.filter(col("term") === "spark"))
+    assert(!p.contains("blocks"),
+      "termstats path must not touch the blocks column")
+  }
+}
