@@ -264,26 +264,32 @@ object IndexBuilder {
       java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
       terms.iterator.map { term =>
         val buf = inv.get(term)
-        val docIds = buf.docIds
-        val tfs = buf.tfs
         Run(pid, segId, term, if (hot.contains(term)) salt else 0,
-          buf.firstDocId, docIds.length,
-          VarInt.encodeDeltas(docIds, buf.firstDocId),
-          VarInt.encodeInts(tfs), buf.norms, buf.positionsEncoded)
+          buf.firstDocId, buf.count,
+          buf.docsEncoded, buf.tfsEncoded, buf.norms, buf.positionsEncoded)
       }
     }
   }
 
+  /** Per-term growing postings buffer, fully delta-varint packed AS IT
+    * GROWS — the byte-pool discipline of the reference's
+    * TermsHashPerField [U lucene/core/.../index/TermsHashPerField.java,
+    * ByteBlockPool]: ~4-5 bytes/posting live instead of 13+ in primitive
+    * arrays, no big result-array copies at flush. */
   private final class PostingsBuf {
-    private val docB = new mutable.ArrayBuilder.ofLong
-    private val tfB = new mutable.ArrayBuilder.ofInt
-    private val normB = new ByteBuilder(16)
-    private val posB = new ByteBuilder(32)
+    private val docB = new ByteBuilder(16)
+    private val tfB = new ByteBuilder(8)
+    private val normB = new ByteBuilder(8)
+    private val posB = new ByteBuilder(16)
     var firstDocId: Long = -1L
+    var count: Int = 0
+    private var lastDocId: Long = 0L
     def add(docId: Long, positions: Array[Int], norm: Byte): Unit = {
-      if (firstDocId < 0) firstDocId = docId
-      docB += docId
-      tfB += positions.length
+      if (firstDocId < 0) { firstDocId = docId; lastDocId = docId }
+      VarInt.write(docB, docId - lastDocId)
+      lastDocId = docId
+      count += 1
+      VarInt.write(tfB, positions.length.toLong)
       normB += norm
       var prev = 0
       var i = 0
@@ -293,8 +299,8 @@ object IndexBuilder {
         i += 1
       }
     }
-    def docIds: Array[Long] = docB.result()
-    def tfs: Array[Int] = tfB.result()
+    def docsEncoded: Array[Byte] = docB.result()
+    def tfsEncoded: Array[Byte] = tfB.result()
     def norms: Array[Byte] = normB.result()
     def positionsEncoded: Array[Byte] = posB.result()
   }
