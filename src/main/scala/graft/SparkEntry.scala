@@ -164,7 +164,10 @@ object SparkEntry {
         max(col("l_quantity")).cast("double").as("max_qty"))),
     "sx_pivot" -> ((s, d) => docsTable(s, d)
       .groupBy("lang", "source").agg(count(lit(1)).as("n"))
-      .orderBy("lang", "source"))
+      .orderBy("lang", "source")),
+    "sx_significant" -> ((s, d) =>
+      graft.search.SignificantTerms.forTerm(index(s, d), "dup", minFgDf = 2, limit = 10)
+        .select("term", "fg_df", "bg_df"))
   )
 
   // ---------------------------------------------------------------- //
@@ -309,6 +312,17 @@ object SparkEntry {
         |min(l_quantity)::DOUBLE AS min_qty, max(l_quantity)::DOUBLE AS max_qty
         |FROM lineitem""".stripMargin,
     "sx_pivot" ->
-      "SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2 ORDER BY 1, 2"
+      "SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2 ORDER BY 1, 2",
+    "sx_significant" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |fgdocs AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),
+        |fgc AS (SELECT count(*)::BIGINT AS c FROM fgdocs),
+        |n AS (SELECT count(*)::BIGINT AS c FROM documents),
+        |fg AS (SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS fg_df
+        |  FROM tok t JOIN fgdocs USING (doc_id) GROUP BY 1 HAVING count(DISTINCT t.doc_id) >= 2),
+        |bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM tok GROUP BY 1)
+        |SELECT term, fg_df, bg_df FROM fg JOIN bg USING (term), fgc, n
+        |ORDER BY (fg_df / CAST(fgc.c AS DOUBLE)) / (bg_df / CAST(n.c AS DOUBLE)) DESC, term
+        |LIMIT 10""".stripMargin
   )
 }

@@ -109,12 +109,32 @@ object Analysis {
     scanTokens(text, maxLen)((_, _) => ())
 
   /** Full analyzer used by the in-memory SpecOracle and tests — must
-    * stay semantically identical to the Column pipeline below. */
+    * stay semantically identical to the Column pipeline below.
+    * Chain: tokenize | lowercase | synonym-canonicalize | stop | stem. */
   def analyze(text: String, stop: Set[String] = Set.empty,
-              maxLen: Int = MaxTokenLength): Array[String] = {
-    val lowered = tokenizeRaw(text, maxLen).map(lowercase)
-    if (stop.isEmpty) lowered else lowered.filterNot(stop)
+              maxLen: Int = MaxTokenLength, stem: Boolean = false,
+              synonyms: Map[String, String] = Map.empty): Array[String] = {
+    var ts = tokenizeRaw(text, maxLen).map(lowercase)
+    if (synonyms.nonEmpty) ts = ts.map(t => synonyms.getOrElse(t, t))
+    if (stop.nonEmpty) ts = ts.filterNot(stop)
+    if (stem) ts = ts.map(PorterStemmer.stem)
+    ts
   }
+
+  /** Synonym canonicalization (merge-to-canonical mode of the
+    * reference's SynonymFilter [U lucene/analysis/common/.../synonym/]
+    * — position-preserving; graph expansion with posIncr=0 is not
+    * modeled since positions are array indices here). */
+  def synonymCol(tokens: Column, synonyms: Map[String, String]): Column =
+    if (synonyms.isEmpty) tokens
+    else {
+      val m = synonyms
+      udf((ts: Seq[String]) => ts.map(t => m.getOrElse(t, t))).apply(tokens)
+    }
+
+  /** Porter-stem each token. */
+  def stemCol(tokens: Column): Column =
+    udf((ts: Seq[String]) => ts.map(PorterStemmer.stem)).apply(tokens)
 
   /** Locale-independent lowercase, as the reference's LowerCaseFilter
     * (Character-based, not default-locale)
@@ -137,9 +157,15 @@ object Analysis {
     if (stop.isEmpty) tokens
     else filter(tokens, t => !array_contains(lit(stop.toArray), t))
 
-  /** The full analyzer as a Column: tokenize|lowercase|stop. */
-  def analyzeCol(text: Column, stop: Seq[String] = Seq.empty): Column =
-    stopFilter(lowercaseAll(tokenize(text)), stop)
+  /** The full analyzer as a Column:
+    * tokenize|lowercase|synonyms|stop|stem. */
+  def analyzeCol(text: Column, stop: Seq[String] = Seq.empty,
+                 stem: Boolean = false,
+                 synonyms: Map[String, String] = Map.empty): Column = {
+    val base = stopFilter(
+      synonymCol(lowercaseAll(tokenize(text)), synonyms), stop)
+    if (stem) stemCol(base) else base
+  }
 
   // ---------- html → text ----------
 

@@ -42,7 +42,9 @@ final case class IndexConfig(
     numSalts: Int = 4,
     hotSampleRate: Double = 0.05,
     docIdBase: Long = 0L,
-    segIdBase: Int = 0)
+    segIdBase: Int = 0,
+    stem: Boolean = false,
+    synonyms: Map[String, String] = Map.empty)
 
 /** Batch inverted-index build (SURVEY.md §3.A):
   *
@@ -98,6 +100,8 @@ object IndexBuilder {
     val segBase = cfg.segIdBase
     val stopSet = cfg.stopWords.toSet
     val maxLen = cfg.maxTokenLength
+    val stem = cfg.stem
+    val syn = cfg.synonyms
 
     // ---- docs table (norms) — allocation-free token COUNT pass --------
     val docsPath = s"$dir/docs"
@@ -111,7 +115,7 @@ object IndexBuilder {
           i += 1
           val dl =
             if (stopSet.isEmpty) Analysis.countTokens(text, maxLen)
-            else Analysis.analyze(text, stopSet, maxLen).length
+            else Analysis.analyze(text, stopSet, maxLen, stem, syn).length
           val norm = SmallFloat.intToByte4(dl)
           DocRow(segId, off + i, url, lang, dl, norm, SmallFloat.byte4ToInt(norm))
         }
@@ -146,7 +150,7 @@ object IndexBuilder {
       val scale = 1.0 / math.min(1.0, keep.toDouble / buckets)
       sampled
         .select(explode(array_distinct(
-          Analysis.analyzeCol(col("text"), cfg.stopWords))).as("term"))
+          Analysis.analyzeCol(col("text"), cfg.stopWords, cfg.stem, cfg.synonyms))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("c"))
         .filter(col("c") * scale >= cfg.hotTermDf)
         .select("term").as[String].collect().toSet
@@ -166,7 +170,7 @@ object IndexBuilder {
     runStage(postingsPath) {
       parted.mapPartitions { it =>
         spimi(it, TaskContext.getPartitionId(), bcOffsets.value, partsPerSeg,
-          segBase, bcHot.value, numSalts, stopSet, maxLen)
+          segBase, bcHot.value, numSalts, stopSet, maxLen, stem, syn)
       }
         .repartitionByRange(cfg.numPartitions, col("segId"), col("term"), col("salt"))
         .sortWithinPartitions("segId", "term", "salt", "firstDocId")
@@ -232,7 +236,9 @@ object IndexBuilder {
   private def spimi(docs: Iterator[(String, String, String)], pid: Int,
                     offsets: Array[Long], partsPerSeg: Int, segBase: Int,
                     hot: Set[String], numSalts: Int,
-                    stopSet: Set[String], maxLen: Int): Iterator[Run] = {
+                    stopSet: Set[String], maxLen: Int,
+                    stem: Boolean = false,
+                    syn: Map[String, String] = Map.empty): Iterator[Run] = {
     val segId = segBase + pid / partsPerSeg
     val salt = (pid % partsPerSeg) * numSalts / partsPerSeg
     val inv = new java.util.HashMap[String, PostingsBuf]()
@@ -241,7 +247,7 @@ object IndexBuilder {
     docs.foreach { case (_, _, text) =>
       docId += 1
       perDoc.clear()
-      val tokens = Analysis.analyze(text, stopSet, maxLen)
+      val tokens = Analysis.analyze(text, stopSet, maxLen, stem, syn)
       var pos = 0
       while (pos < tokens.length) {
         val t = tokens(pos)

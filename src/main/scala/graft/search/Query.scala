@@ -13,7 +13,7 @@ final case class TermQ(term: String) extends Query
 /** Exact phrase (slop=0): tokens adjacent in order; freq = number of
   * phrase occurrences; weight = Σ constituent idfs
   * [U …/search/PhraseQuery.java, ExactPhraseMatcher.java]. */
-final case class PhraseQ(terms: Seq[String]) extends Query
+final case class PhraseQ(terms: Seq[String], slop: Int = 0) extends Query
 
 /** Doc-attribute equality (e.g. lang = "en") — non-scoring, usable in
   * FILTER/MUST_NOT context; evaluated against the docs table (the
@@ -72,7 +72,7 @@ object Query {
     * Multi-term queries must be `rewrite`n first. */
   def collectTerms(q: Query): Seq[String] = q match {
     case TermQ(t) => Seq(t)
-    case PhraseQ(ts) => ts
+    case PhraseQ(ts, _) => ts
     case TermSetQ(ts, _) => ts
     case AttrQ(_, _) => Nil
     case BoostQ(inner, _) => collectTerms(inner)

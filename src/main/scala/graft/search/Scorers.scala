@@ -164,7 +164,7 @@ final class BitsetScorer(bits: java.util.BitSet, minDocId: Long) extends DocScor
   * weight = Σ constituent idfs [U …/search/PhraseQuery.java#PhraseWeight,
   * ExactPhraseMatcher]. */
 final class PhraseScorer(terms: IndexedSeq[TermScorer], val weight: Float,
-                         cache: Array[Float]) extends DocScorer {
+                         cache: Array[Float], slop: Int = 0) extends DocScorer {
   var doc: Long = -1L
   private[this] var phraseFreq = 0
   val cost: Long = if (terms.isEmpty) 0L else terms.map(_.cost).min
@@ -189,17 +189,33 @@ final class PhraseScorer(terms: IndexedSeq[TermScorer], val weight: Float,
     Scorers.DONE
   }
 
+  /** slop=0: exact adjacency. slop>0 (engine-pinned semantics,
+    * mirrored by the SpecOracle; the reference's SloppyPhraseMatcher
+    * uses an edit-distance formulation [U …/search/SloppyPhraseMatcher]):
+    * anchored at each first-term offset o0 = p0 - 0, match if every
+    * term i has a position with |（p_i - i) - o0| <= slop. */
   private def countPhrase(): Int = {
     val first = terms(0).positions()
     var c = 0
     var pi = 0
     while (pi < first.length) {
-      val p = first(pi)
+      val o0 = first(pi)
       var ok = true
       var ti = 1
       while (ok && ti < terms.length) {
-        if (java.util.Arrays.binarySearch(terms(ti).positions(), p + ti) < 0)
-          ok = false
+        val ps = terms(ti).positions()
+        if (slop == 0) {
+          if (java.util.Arrays.binarySearch(ps, o0 + ti) < 0) ok = false
+        } else {
+          var found = false
+          var j = 0
+          while (!found && j < ps.length) {
+            val adj = ps(j) - ti
+            if (adj >= o0 - slop && adj <= o0 + slop) found = true
+            j += 1
+          }
+          if (!found) ok = false
+        }
         ti += 1
       }
       if (ok) c += 1

@@ -215,12 +215,12 @@ object SegmentScorer {
               blocks: Map[String, IndexedSeq[Block]],
               langBits: Map[String, (java.util.BitSet, Long)]): DocScorer = q match {
     case TermQ(t) => termScorer(t, ctx, blocks)
-    case PhraseQ(ts) =>
+    case PhraseQ(ts, slop) =>
       // weight = Σ constituent idfs, float-accumulated in phrase order
       var w = 0f
       ts.foreach(t => w += ctx.weightOf(t))
       if (ts.exists(t => !blocks.contains(t))) new EmptyScorer
-      else new PhraseScorer(ts.map(t => termScorer(t, ctx, blocks)).toIndexedSeq, w, ctx.cache)
+      else new PhraseScorer(ts.map(t => termScorer(t, ctx, blocks)).toIndexedSeq, w, ctx.cache, slop)
     case AttrQ("lang", v) =>
       langBits.get(v) match {
         case Some((bits, minDoc)) => new BitsetScorer(bits, minDoc)

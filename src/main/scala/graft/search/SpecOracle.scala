@@ -19,11 +19,15 @@ import graft.util.SmallFloat
   *  - dl = SmallFloat-quantized decoded length
   */
 final class SpecOracle(corpus: Seq[(String, String, String)],
-                       stopWords: Set[String] = Set.empty) {
+                       stopWords: Set[String] = Set.empty,
+                       stem: Boolean = false,
+                       synonyms: Map[String, String] = Map.empty) {
   // (url, text, lang) → docId by url order
   private val docs: IndexedSeq[(Long, String, Array[String], String)] =
     corpus.sortBy(_._1).zipWithIndex.map { case ((url, text, lang), i) =>
-      (i.toLong, url, Analysis.analyze(text, stopWords), lang)
+      (i.toLong, url,
+        Analysis.analyze(text, stopWords, Analysis.MaxTokenLength, stem, synonyms),
+        lang)
     }.toIndexedSeq
 
   val docCount: Long = docs.length.toLong
@@ -71,13 +75,16 @@ final class SpecOracle(corpus: Seq[(String, String, String)],
       postings.get(t).flatMap(_.get(docId)).map { case (tf, _) =>
         BM25.score(weightOf(t), tf.toFloat, cache(normOf(docId) & 0xFF))
       }
-    case PhraseQ(ts) =>
+    case PhraseQ(ts, slop) =>
       val hits = ts.map(t => postings.get(t).flatMap(_.get(docId)))
       if (hits.exists(_.isEmpty)) None
       else {
         val posLists = hits.map(_.get._2)
         val freq = posLists.head.count(p =>
-          posLists.zipWithIndex.tail.forall { case (ps, i) => ps.contains(p + i) })
+          posLists.zipWithIndex.tail.forall { case (ps, i) =>
+            if (slop == 0) ps.contains(p + i)
+            else ps.exists(q => math.abs((q - i) - p) <= slop)
+          })
         if (freq == 0) None
         else {
           var w = 0f

@@ -1,0 +1,111 @@
+package graft.search
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.analysis.{Analysis, PorterStemmer}
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.model.Page
+
+import org.apache.spark.sql.Dataset
+
+/** Porter stemming, synonym canonicalization, sloppy phrase, SQL face,
+  * significant terms. */
+class ExtendedAnalysisSpec extends SparkSpec {
+
+  test("Porter stemmer: published-spec examples") {
+    val cases = Map(
+      "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "motoring" -> "motor",
+      "sing" -> "sing", "happy" -> "happi", "relational" -> "relat",
+      "conditional" -> "condit", "running" -> "run", "flies" -> "fli")
+    cases.foreach { case (in, out) =>
+      assert(PorterStemmer.stem(in) === out, s"stem($in)")
+    }
+  }
+
+  test("analyzer chain with stemming + synonyms") {
+    val syn = Map("quick" -> "fast", "rapid" -> "fast")
+    val out = Analysis.analyze("The quick foxes were running rapidly",
+      Analysis.EnglishStopWords.toSet, stem = true, synonyms = syn).toSeq
+    assert(out === Seq("fast", "fox", "were", "run", "rapidli"))
+  }
+
+  private def mkPages(texts: Seq[String]): Dataset[Page] = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) =>
+      Page(f"https://x/$i%04d", java.sql.Timestamp.valueOf("2025-10-24 00:00:00"),
+        s"<p>$t</p>".getBytes, t, "en")
+    }.toDS()
+  }
+
+  test("stemmed index end-to-end: engine == SpecOracle with same config") {
+    val texts = Seq(
+      "running faster than runners run", "the runner runs daily",
+      "walking walks walked", "joins joined joining tables")
+    val cfg = IndexConfig(numPartitions = 2, partsPerSegment = 1, stem = true)
+    val idx = IndexBuilder.build(spark, mkPages(texts),
+      Files.createTempDirectory("graft-stem").toString, cfg)
+    val oracle = new SpecOracle(
+      texts.zipWithIndex.map { case (t, i) => (f"https://x/$i%04d", t, "en") },
+      stem = true)
+    // "running"/"runs"/"run" all stem to "run"
+    val got = new Searcher(idx).topK(TermQ("run"), 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getFloat(3))).toSeq
+    assert(got === oracle.topK(TermQ("run"), 10))
+    assert(got.size >= 2)
+  }
+
+  test("sloppy phrase matches within slop, engine == oracle") {
+    val texts = Seq(
+      "spark join now",          // exact "spark join"
+      "spark fast join",         // 1 apart -> slop 1
+      "spark a b join",          // 2 apart -> slop 2
+      "join spark")              // reversed
+    val idx = IndexBuilder.build(spark, mkPages(texts),
+      Files.createTempDirectory("graft-slop").toString,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    val oracle = new SpecOracle(
+      texts.zipWithIndex.map { case (t, i) => (f"https://x/$i%04d", t, "en") })
+    val searcher = new Searcher(idx)
+    Seq(0, 1, 2).foreach { slop =>
+      val q = PhraseQ(Seq("spark", "join"), slop)
+      val got = searcher.scoredHits(q, -1).collect().toMap
+      val exp = oracle.matching(q).map(d =>
+        d -> oracle.scoreDoc(oracle.rewrite(q), d).get).toMap
+      assert(got === exp, s"slop=$slop")
+    }
+    // doc set grows with slop
+    assert(searcher.scoredHits(PhraseQ(Seq("spark", "join"), 0), -1).count() === 1)
+    assert(searcher.scoredHits(PhraseQ(Seq("spark", "join"), 1), -1).count() >= 2)
+  }
+
+  test("SQL face: spark.sql over registered views answers ranked retrieval") {
+    val idx = graft.SparkEntry.index(spark, "/root/testdata/sf0.001")
+    val out = GraftSql.sql(idx,
+      """SELECT d.url, s.score FROM graft_scored s
+        |JOIN graft_docs d ON s.docId = d.docId
+        |WHERE s.term = 'spark'
+        |ORDER BY s.score DESC, s.docId ASC LIMIT 5""".stripMargin).collect()
+    assert(out.length === 5)
+    // agrees with the relational path's ranking
+    val rel = new RelationalPath(idx).termTopK("spark", 5).collect()
+    val urls = rel.map(_.getLong(1)).map(id => f"$id%012d")
+    out.map(_.getString(0)).zip(urls).foreach { case (u, suffix) =>
+      assert(u.endsWith(suffix))
+    }
+  }
+
+  test("significant terms: co-occurring term outranks background") {
+    val texts =
+      (1 to 20).map(i => s"common filler$i") ++
+        (1 to 5).map(i => s"common special rare$i")
+    val idx = IndexBuilder.build(spark, mkPages(texts),
+      Files.createTempDirectory("graft-sig").toString,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    val sig = SignificantTerms.forTerm(idx, "special", minFgDf = 2)
+      .collect().map(_.getString(0)).toSeq
+    // "special" itself tops; "common" has ratio 1 (everywhere)
+    assert(sig.head === "special")
+  }
+}
