@@ -22,7 +22,7 @@ import graft.search.{Query, RelationalPath, Searcher, TermQ}
 object SparkEntry {
 
   /** Bump when the on-disk index format changes (stale caches rebuild). */
-  private val FormatVersion = "v1"
+  private val FormatVersion = "v2"
 
   private val indexes = new ConcurrentHashMap[String, InvertedIndex]()
 
@@ -165,6 +165,10 @@ object SparkEntry {
     "sx_pivot" -> ((s, d) => docsTable(s, d)
       .groupBy("lang", "source").agg(count(lit(1)).as("n"))
       .orderBy("lang", "source")),
+    "sx_distinct" -> ((s, d) => tpch(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_parts"))
+      .orderBy("l_returnflag")),
     "sx_significant" -> ((s, d) =>
       graft.search.SignificantTerms.forTerm(index(s, d), "dup", minFgDf = 2, limit = 10)
         .select("term", "fg_df", "bg_df"))
@@ -313,6 +317,9 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     "sx_pivot" ->
       "SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2 ORDER BY 1, 2",
+    "sx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "sx_significant" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |fgdocs AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),

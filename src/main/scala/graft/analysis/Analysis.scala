@@ -158,12 +158,15 @@ object Analysis {
     else filter(tokens, t => !array_contains(lit(stop.toArray), t))
 
   /** The full analyzer as a Column:
-    * tokenize|lowercase|synonyms|stop|stem. */
+    * tokenize|lowercase|synonyms|stop|stem. Tokenize+lowercase run as
+    * ONE native Catalyst expression (TokenizeExpr, codegen — no
+    * ScalaUDF encoder round-trip); synonyms/stop/stem compose on top
+    * with built-in array functions where possible. */
   def analyzeCol(text: Column, stop: Seq[String] = Seq.empty,
                  stem: Boolean = false,
                  synonyms: Map[String, String] = Map.empty): Column = {
     val base = stopFilter(
-      synonymCol(lowercaseAll(tokenize(text)), synonyms), stop)
+      synonymCol(TokenizeExpr.tokenizeLower(text), synonyms), stop)
     if (stem) stemCol(base) else base
   }
 

@@ -44,6 +44,13 @@ object Deletes {
     idx.docs.filter(pred).select("docId")
       .write.mode("append").parquet(tombstonePath(idx.dir))
 
+  /** TTL expiration: tombstone every doc with warc_ts older than the
+    * cutoff — the DocExpirationUpdateProcessor analogue
+    * [U solr/core/.../update/processor/DocExpirationUpdateProcessorFactory].
+    * Pair with `compact` to reclaim. */
+  def expire(idx: InvertedIndex, olderThan: java.sql.Timestamp): Unit =
+    deleteWhere(idx, col("ts") < olderThan)
+
   /** Rewrite the index dropping tombstoned docs: postings rows are
     * decoded, filtered and re-blocked; docs rows dropped; stats and
     * term stats recomputed; manifest generation bumped; tombstones

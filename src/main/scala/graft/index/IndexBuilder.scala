@@ -78,11 +78,11 @@ object IndexBuilder {
     // Tokenization happens AFTER this exchange, so analysis parallelism
     // equals numPartitions regardless of input file layout, and the
     // shuffle payload is the raw text (smaller than token arrays).
-    val parted: Dataset[(String, String, String)] = pages
-      .select(col("url"), col("lang"), col("text"))
+    val parted: Dataset[(String, String, String, java.sql.Timestamp)] = pages
+      .select(col("url"), col("lang"), col("text"), col("warc_ts"))
       .repartitionByRange(cfg.numPartitions, col("url"))
       .sortWithinPartitions("url")
-      .as[(String, String, String)]
+      .as[(String, String, String, java.sql.Timestamp)]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // docId = row_number over url order, computed scalably: per-partition
@@ -111,13 +111,14 @@ object IndexBuilder {
         val off = bcOffsets.value(pid)
         val segId = segBase + pid / partsPerSeg
         var i = -1L
-        it.map { case (url, lang, text) =>
+        it.map { case (url, lang, text, ts) =>
           i += 1
           val dl =
             if (stopSet.isEmpty) Analysis.countTokens(text, maxLen)
             else Analysis.analyze(text, stopSet, maxLen, stem, syn).length
           val norm = SmallFloat.intToByte4(dl)
-          DocRow(segId, off + i, url, lang, dl, norm, SmallFloat.byte4ToInt(norm))
+          DocRow(segId, off + i, url, lang, dl, norm,
+            SmallFloat.byte4ToInt(norm), ts)
         }
       }.toDF()
         .write.mode("overwrite").parquet(docsPath)
@@ -144,8 +145,8 @@ object IndexBuilder {
       val buckets = 1 << 16
       val keep = math.max(1L, (cfg.hotSampleRate * buckets).toLong)
       val sampled =
-        if (cfg.hotSampleRate >= 1.0) parted.toDF("url", "lang", "text")
-        else parted.toDF("url", "lang", "text")
+        if (cfg.hotSampleRate >= 1.0) parted.toDF("url", "lang", "text", "ts")
+        else parted.toDF("url", "lang", "text", "ts")
           .filter(pmod(xxhash64(col("url")), lit(buckets)) < lit(keep))
       val scale = 1.0 / math.min(1.0, keep.toDouble / buckets)
       sampled
@@ -189,12 +190,13 @@ object IndexBuilder {
         .write.mode("overwrite").parquet(termStatsPath)
     }
 
-    // ---- lineage + segment metadata (manifest inputs) -----------------
+    // ---- per-partition lineage (north rule: resumable with lineage) ---
+    // exact, driver-known: which docId range each input partition owns
     val lineagePath = s"$dir/lineage"
     runStage(lineagePath) {
-      postingsDf.groupBy("segId")
-        .agg(count(lit(1)).as("postingsRows"), sum("df").as("postings"),
-          min("term").as("minTerm"), max("term").as("maxTerm"))
+      val rows = counts.indices.map(p =>
+        LineageRow(p, segBase + p / partsPerSeg, offsets(p), counts(p)))
+      spark.createDataset(rows).toDF()
         .coalesce(1).write.mode("overwrite").parquet(lineagePath)
     }
     val segsPath = s"$dir/segments"
@@ -233,7 +235,7 @@ object IndexBuilder {
     * DocumentsWriterPerThread at flush), fused with docId assignment and
     * salt tagging. Docs arrive in docId order, so per-term postings are
     * built already sorted. */
-  private def spimi(docs: Iterator[(String, String, String)], pid: Int,
+  private def spimi(docs: Iterator[(String, String, String, java.sql.Timestamp)], pid: Int,
                     offsets: Array[Long], partsPerSeg: Int, segBase: Int,
                     hot: Set[String], numSalts: Int,
                     stopSet: Set[String], maxLen: Int,
@@ -244,7 +246,7 @@ object IndexBuilder {
     val inv = new java.util.HashMap[String, PostingsBuf]()
     val perDoc = new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]()
     var docId = offsets(pid) - 1L
-    docs.foreach { case (_, _, text) =>
+    docs.foreach { case (_, _, text, _) =>
       docId += 1
       perDoc.clear()
       val tokens = Analysis.analyze(text, stopSet, maxLen, stem, syn)

@@ -24,7 +24,8 @@ final case class DocRow(
     lang: String,
     dl: Int,
     norm: Byte,
-    dlq: Int)
+    dlq: Int,
+    ts: java.sql.Timestamp)
 
 /** One 128-entry postings block: delta-varint docIds, varint tfs, raw
   * norm bytes, per-doc delta-varint positions; block-max metadata
@@ -52,6 +53,10 @@ final case class PostingsRow(
     df: Long,
     ttf: Long,
     blocks: Seq[Block])
+
+/** Per-input-partition lineage row (north-rule resumability evidence):
+  * which docId range each partition produced, written with the manifest. */
+final case class LineageRow(partId: Int, segId: Int, firstDocId: Long, rows: Long)
 
 /** Intermediate SPIMI run: one term's postings from one input partition
   * (the analogue of one DWPT's in-memory postings at flush,

@@ -79,6 +79,27 @@ class DeletesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("TTL expiration tombstones docs older than the cutoff") {
+    val dir = Files.createTempDirectory("graft-ttl").toString
+    import spark.implicits._
+    val pages = texts.zipWithIndex.map { case (t, i) =>
+      Page(f"https://d/$i%04d",
+        java.sql.Timestamp.valueOf(s"2025-10-2${(i % 3) + 1} 00:00:00"),
+        s"<p>$t</p>".getBytes, t, "en")
+    }.toDS()
+    val idx = IndexBuilder.build(spark, pages, dir,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    Deletes.expire(idx, java.sql.Timestamp.valueOf("2025-10-22 00:00:00"))
+    // docs with ts 2025-10-21 (i % 3 == 0 → i = 0, 3) expired
+    val live = new Searcher(idx).scoredHits(
+      Query.or("spark", "join", "merge", "the", "window", "sort", "batch"), -1)
+      .collect().map(_._1).toSet
+    assert(!live.contains(0L) && !live.contains(3L))
+    assert(live.contains(1L) && live.contains(2L) && live.contains(4L))
+    val compacted = Deletes.compact(idx)
+    assert(compacted.stats.docCount === 3)
+  }
+
   test("delete-by-query (predicate) tombstones") {
     val dir = Files.createTempDirectory("graft-del2").toString
     val idx = IndexBuilder.build(spark, mkPages(texts), dir,
