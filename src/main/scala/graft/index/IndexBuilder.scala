@@ -73,6 +73,8 @@ object IndexBuilder {
     import spark.implicits._
 
     Files.createDirectories(Paths.get(dir))
+    val tBuild = System.nanoTime()
+    val stageSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // ---- shuffle raw docs into url-range partitions --------------------
     // Tokenization happens AFTER this exchange, so analysis parallelism
@@ -91,6 +93,7 @@ object IndexBuilder {
     val tCounts = System.nanoTime()
     val counts: Array[Long] =
       parted.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+    stageSec += "counts" -> (System.nanoTime() - tCounts) / 1e9
     if (sys.env.contains("GRAFT_PROFILE"))
       println(f"[build] counts+materialize ${(System.nanoTime() - tCounts) / 1e9}%.2f s")
     val offsets: Array[Long] = counts.scanLeft(cfg.docIdBase)(_ + _)
@@ -105,7 +108,7 @@ object IndexBuilder {
 
     // ---- docs table (norms) — allocation-free token COUNT pass --------
     val docsPath = s"$dir/docs"
-    runStage(docsPath) {
+    runStage(docsPath, stageSec) {
       parted.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val off = bcOffsets.value(pid)
@@ -127,7 +130,7 @@ object IndexBuilder {
 
     // ---- collection stats (BM25 inputs; north_star equality gate) ----
     val statsPath = s"$dir/stats"
-    runStage(statsPath) {
+    runStage(statsPath, stageSec) {
       docsDf.agg(
         count(lit(1)).as("docCount"),
         sum(col("dl")).cast("long").as("sumTotalTermFreq"))
@@ -156,6 +159,7 @@ object IndexBuilder {
         .filter(col("c") * scale >= cfg.hotTermDf)
         .select("term").as[String].collect().toSet
     }
+    stageSec += "hotsample" -> (System.nanoTime() - tHot) / 1e9
     if (sys.env.contains("GRAFT_PROFILE"))
       println(f"[build] hotsample ${(System.nanoTime() - tHot) / 1e9}%.2f s (${hotTerms.size} hot)")
     val bcHot = spark.sparkContext.broadcast(hotTerms)
@@ -168,7 +172,7 @@ object IndexBuilder {
     // docId-contiguous slices so no reducer ever owns a whole web-scale
     // posting list (the SegmentMerger + TieredMergePolicy analogue).
     val postingsPath = s"$dir/postings"
-    runStage(postingsPath) {
+    runStage(postingsPath, stageSec) {
       parted.mapPartitions { it =>
         spimi(it, TaskContext.getPartitionId(), bcOffsets.value, partsPerSeg,
           segBase, bcHot.value, numSalts, stopSet, maxLen, stem, syn)
@@ -184,7 +188,7 @@ object IndexBuilder {
     // (columnar scan of term/df/ttf only — blocks never read)
     val postingsDf = spark.read.parquet(postingsPath)
     val termStatsPath = s"$dir/termstats"
-    runStage(termStatsPath) {
+    runStage(termStatsPath, stageSec) {
       postingsDf.groupBy("term")
         .agg(sum("df").as("df"), sum("ttf").as("ttf"))
         .write.mode("overwrite").parquet(termStatsPath)
@@ -193,14 +197,14 @@ object IndexBuilder {
     // ---- per-partition lineage (north rule: resumable with lineage) ---
     // exact, driver-known: which docId range each input partition owns
     val lineagePath = s"$dir/lineage"
-    runStage(lineagePath) {
+    runStage(lineagePath, stageSec) {
       val rows = counts.indices.map(p =>
         LineageRow(p, segBase + p / partsPerSeg, offsets(p), counts(p)))
       spark.createDataset(rows).toDF()
         .coalesce(1).write.mode("overwrite").parquet(lineagePath)
     }
     val segsPath = s"$dir/segments"
-    runStage(segsPath) {
+    runStage(segsPath, stageSec) {
       docsDf.groupBy("segId")
         .agg(count(lit(1)).as("nDocs"), min("docId").as("minDocId"),
           max("docId").as("maxDocId"))
@@ -213,7 +217,9 @@ object IndexBuilder {
     // ---- atomic manifest commit (segments_N analogue): temp + rename --
     val segInfos = spark.read.parquet(segsPath).as[SegmentInfo].collect()
       .sortBy(_.segId)
-    val manifest = manifestJson(stats0, segInfos, cfg, hotTerms.size)
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+    val manifest = manifestJson(stats0, segInfos, cfg, hotTerms.size,
+      stageSec.toSeq, buildSec)
     val tmp = Paths.get(dir, ".manifest.json.tmp")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dir, "manifest.json"),
@@ -222,13 +228,19 @@ object IndexBuilder {
     InvertedIndex.open(spark, dir)
   }
 
-  /** Idempotent stage guard: skip if a previous run completed it. */
-  private def runStage(path: String)(f: => Unit): Unit =
+  /** Idempotent stage guard: skip if a previous run completed it;
+    * records the stage wall time into the manifest metrics. */
+  private def runStage(path: String,
+                       metrics: scala.collection.mutable.Map[String, Double] = null)
+                      (f: => Unit): Unit =
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
       val t0 = System.nanoTime()
       f
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (metrics != null)
+        metrics += Paths.get(path).getFileName.toString -> sec
       if (sys.env.contains("GRAFT_PROFILE"))
-        println(f"[build] ${Paths.get(path).getFileName} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[build] ${Paths.get(path).getFileName} $sec%.2f s")
     }
 
   /** SPIMI in-memory inversion of one partition (≈ one
@@ -418,16 +430,23 @@ object IndexBuilder {
   }
 
   private def manifestJson(stats: CollStats, segs: Array[SegmentInfo],
-                           cfg: IndexConfig, hotTerms: Int): String = {
+                           cfg: IndexConfig, hotTerms: Int,
+                           stageSec: Seq[(String, Double)],
+                           buildSec: Double): String = {
     val segJson = segs.map(s =>
       s"""{"segId":${s.segId},"nDocs":${s.nDocs},"minDocId":${s.minDocId},"maxDocId":${s.maxDocId}}""")
       .mkString("[", ",", "]")
+    val metricsJson = (stageSec.map { case (k, v) => f""""$k":$v%.3f""" } :+
+      f""""totalSec":$buildSec%.3f""" :+
+      f""""docsPerSec":${stats.docCount / math.max(buildSec, 0.001)}%.1f""")
+      .mkString("{", ",", "}")
     s"""{
        |  "generation": 1,
        |  "docCount": ${stats.docCount},
        |  "sumTotalTermFreq": ${stats.sumTotalTermFreq},
        |  "avgdl": ${stats.avgdl},
        |  "hotTermsSalted": $hotTerms,
+       |  "metrics": $metricsJson,
        |  "config": {"numPartitions": ${cfg.numPartitions}, "partsPerSegment": ${cfg.partsPerSegment}, "blockSize": ${cfg.blockSize}, "hotTermDf": ${cfg.hotTermDf}, "numSalts": ${cfg.numSalts}, "hotSampleRate": ${cfg.hotSampleRate}},
        |  "segments": $segJson
        |}""".stripMargin
