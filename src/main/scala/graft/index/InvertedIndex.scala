@@ -59,6 +59,20 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
   override def hasDeletes: Boolean = Deletes.hasTombstones(dir)
   override def tombstones: Dataset[java.lang.Long] = Deletes.tombstones(spark, dir)
 
+  /** Driver-side term dictionary cache for serving mode: loaded once
+    * when the dictionary is small enough (it is on test corpora; a
+    * web-scale deployment keeps the hot slice). Saves one Spark job per
+    * query (the stats lookup). */
+  @volatile private var statsMap: Option[Map[String, Long]] = None
+  def termDfMap(maxTerms: Int = 1 << 20): Option[Map[String, Long]] = {
+    if (statsMap.isEmpty) {
+      val rows = termStats.select("term", "df").limit(maxTerms + 1).collect()
+      if (rows.length <= maxTerms)
+        statsMap = Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+    statsMap
+  }
+
   /** Pin the segment tables in executor memory and materialize them —
     * the analogue of a warm MMapDirectory + preloaded norms in the
     * reference's "warm searcher" serving mode. Opt-in: at full corpus

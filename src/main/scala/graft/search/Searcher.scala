@@ -36,8 +36,15 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
     val terms = Query.collectTerms(q)
     val dfMap: Map[String, Long] =
       if (terms.isEmpty) Map.empty
-      else idx.termStats.filter(col("term").isin(terms: _*))
-        .select("term", "df").as[(String, Long)].collect().toMap
+      else idx match {
+        // warm serving mode: dictionary cached on the driver — no job
+        case inv: graft.index.InvertedIndex if inv.termDfMap().isDefined =>
+          val m = inv.termDfMap().get
+          terms.flatMap(t => m.get(t).map(t -> _)).toMap
+        case _ =>
+          idx.termStats.filter(col("term").isin(terms: _*))
+            .select("term", "df").as[(String, Long)].collect().toMap
+      }
     ScoringContext(idx.stats, dfMap)
   }
 
