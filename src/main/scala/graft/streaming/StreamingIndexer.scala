@@ -116,4 +116,28 @@ final class GenerationalIndex(val spark: SparkSession, dir: String) extends Inde
   def termStats: DataFrame =
     spark.read.parquet(genDirs.map(d => s"$d/termstats"): _*)
       .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
+
+  /** Cross-generation updates: a url re-ingested in a later batch
+    * SHADOWS its older versions — last-writer-wins by (warc_ts, docId),
+    * exposed as implicit tombstones so the per-segment scorers and the
+    * relational path mask them exactly like explicit deletes (the
+    * `_version_` update-ordering analogue across tlog replays
+    * [U solr/core/.../update/VersionInfo.java]). Collection stats still
+    * count shadowed docs until compaction, as in the reference. */
+  override lazy val hasDeletes: Boolean = {
+    import org.apache.spark.sql.functions._
+    gens.size > 1 &&
+      docs.groupBy("url").count().filter(col("count") > 1).limit(1).count() > 0
+  }
+
+  override def tombstones: Dataset[java.lang.Long] = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy(desc("ts"), desc("docId"))
+    docs.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("docId"))
+      .as[java.lang.Long]
+  }
 }

@@ -92,6 +92,35 @@ class StreamingSpec extends SparkSpec {
     assert(idx.stats.docCount === batch1.size)
   }
 
+  test("cross-generation update: newer batch shadows the old version") {
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    import spark.implicits._
+    StreamingIndexer.appendGeneration(spark, batch1.toDS(), dir, 0L,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    // re-ingest url 0001 with NEW content, newer ts
+    val update = Seq(page(1, "completely fresh replacement text",
+      "2025-10-25 00:00:00"))
+    StreamingIndexer.appendGeneration(spark, update.toDS(), dir, 1L,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    val idx = new GenerationalIndex(spark, dir)
+    assert(idx.hasDeletes) // the old version is shadowed
+    val searcher = new Searcher(idx)
+    // old content must be gone...
+    val oldHits = searcher.topK(TermQ("batch"), 10).collect()
+      .map(_.getString(2))
+    assert(!oldHits.exists(_.endsWith("0001")))
+    // ...new content found, at the same url
+    val newHits = searcher.topK(TermQ("replacement"), 10).collect()
+    assert(newHits.length === 1)
+    assert(newHits.head.getString(2).endsWith("0001"))
+    // relational path masks it too
+    val rel = new RelationalPath(idx)
+    assert(!rel.docsWithId.filter(org.apache.spark.sql.functions.col("url")
+      .endsWith("0001")).collect().map(_.getAs[Long]("docId")).contains(1L) ||
+      rel.docsWithId.filter(org.apache.spark.sql.functions.col("url")
+        .endsWith("0001")).count() === 1)
+  }
+
   test("within-batch duplicate urls collapse last-writer-wins") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     import spark.implicits._
