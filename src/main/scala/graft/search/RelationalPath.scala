@@ -71,12 +71,19 @@ final class RelationalPath(idx: graft.index.IndexView) {
   /** Rank by (score desc, docId asc) — docId is the url-rank, the
     * normative tie-break key shared with the scorer path
     * (TopScoreDocCollector semantics); output exposes the original
-    * corpus doc_id. */
+    * corpus doc_id.
+    *
+    * Scale shape: `orderBy(...).limit(k)` compiles to
+    * TakeOrderedAndProject (per-partition bounded heaps + driver merge —
+    * the TopDocs.merge analogue), so no global sort and no
+    * single-partition exchange ever sees more than k rows; the ranking
+    * Window then runs over the ≤k survivors only. */
   private def rankTopK(perDoc: DataFrame, k: Int): DataFrame =
     perDoc
+      .orderBy(desc("s"), asc("docId"))
+      .limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(desc("s"), asc("docId"))))
-      .filter(col("rank") <= k)
       .select(col("rank").cast("int").as("rank"), col("doc_id"))
       .orderBy("rank")
 
@@ -127,8 +134,9 @@ final class RelationalPath(idx: graft.index.IndexView) {
       tfTable(terms).toDF("term", "docId", "tf")
         .select("docId").distinct()
         .join(docsWithId.select(col("docId"), col("doc_id")), "docId")
+        .orderBy(asc("docId"))
+        .limit(k) // TakeOrderedAndProject — bounded before the rank Window
         .withColumn("rank", row_number().over(Window.orderBy(asc("docId"))))
-        .filter(col("rank") <= k)
         .select(col("rank").cast("int").as("rank"), col("doc_id"))
         .orderBy("rank")
     }
@@ -165,10 +173,13 @@ final class RelationalPath(idx: graft.index.IndexView) {
         .select(col("docId"), col("doc_id"), col("s")), k)
   }
 
-  /** Deep paging: ranks [lo, hi] of a term query (searchAfter). */
+  /** Deep paging: ranks [lo, hi] of a term query (searchAfter) — top-hi
+    * via TakeOrderedAndProject first, then rank/slice the ≤hi rows. */
   def termPage(term: String, lo: Int, hi: Int): DataFrame =
     scoredTf(Seq(term))
       .select(col("docId"), col("doc_id"), col("score").as("s"))
+      .orderBy(desc("s"), asc("docId"))
+      .limit(hi)
       .withColumn("rank",
         row_number().over(Window.orderBy(desc("s"), asc("docId"))))
       .filter(col("rank").between(lo, hi))

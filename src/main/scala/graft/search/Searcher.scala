@@ -82,13 +82,15 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
         .toDF("rank", "docId", "url", "score")
     }
     val ids = merged.map(_._1)
-    val hitsDf = merged.toSeq.toDF("docId", "score")
+    // ranks assigned on the DRIVER over the already-merged ≤k hits (the
+    // TopDocs.merge output) — no Window operator anywhere in the plan,
+    // so no single-partition exchange even for the rank column
+    val hitsDf = merged.toSeq.zipWithIndex
+      .map { case ((d, s), i) => (i + 1, d, s) }
+      .toDF("rank", "docId", "score")
     idx.docs.filter(col("docId").isin(ids: _*)).select("docId", "url")
       .join(broadcast(hitsDf), "docId")
-      .select(
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(desc("score"), asc("docId"))).as("rank"),
-        col("docId"), col("url"), col("score"))
+      .select(col("rank"), col("docId"), col("url"), col("score"))
       .orderBy("rank")
   }
 

@@ -55,6 +55,19 @@ class PlanSpec extends SparkSpec {
       p.drop(ix).contains("HashAggregate"), p.take(3000))
   }
 
+  test("relational top-k is TakeOrderedAndProject; Window only over ≤k rows") {
+    val rel = new RelationalPath(idx)
+    val df = rel.termTopK("spark", 10)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // the ranking Window must sit ABOVE the TakeOrderedAndProject (i.e.
+    // it only ever sees the ≤k survivors, never the full match set)
+    val iTop = p.indexOf("TakeOrderedAndProject")
+    val iWin = p.indexOf("Window")
+    assert(iWin < 0 || iWin < iTop, // formatted plans print top-down
+      s"Window below TakeOrdered: win=$iWin top=$iTop\n${p.take(3000)}")
+  }
+
   test("postings scan prunes columns (term stats never read blocks)") {
     val p = plan(idx.termStats.filter(col("term") === "spark"))
     assert(!p.contains("blocks"),
