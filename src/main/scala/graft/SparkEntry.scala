@@ -91,6 +91,9 @@ object SparkEntry {
     "ir_q16_page2" -> ((s, d) => rel(s, d).termPage("spark", 11, 20)),
     "ir_q17_collapse" -> ((s, d) => rel(s, d).collapseByLang("spark")),
     "ir_q18_facet" -> ((s, d) => rel(s, d).facetByLang("spark")),
+    "ir_q19_matchall" -> ((s, d) => rel(s, d).matchAllTopK(10)),
+    "ir_q20_tsrange" -> ((s, d) => rel(s, d).tsRangeTopK("spark",
+      "2025-10-24 00:02:00", "2025-10-24 00:06:00", 10)),
     // ---- training-data pipeline: dedup (§prompt) ----
     "dd_exact" -> ((s, d) => Dedup.exactGroups(docsTable(s, d)).orderBy("keep_id")),
     "dd_ngram_jaccard" -> ((s, d) =>
@@ -263,6 +266,12 @@ object SparkEntry {
          |SELECT d.lang, count(*)::BIGINT AS n FROM scored s1
          |JOIN documents d USING (doc_id) WHERE s1.term = 'spark'
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "ir_q19_matchall" ->
+      """SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+        |  SELECT row_number() OVER (ORDER BY source ASC, doc_id ASC) AS rank, doc_id
+        |  FROM documents) WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "ir_q20_tsrange" -> topkSql(
+      "SELECT s1.doc_id, s1.score AS s FROM scored s1 WHERE s1.term = 'spark' AND s1.doc_id IN (SELECT doc_id FROM documents WHERE TIMESTAMP '2025-10-24 00:00:00' + to_seconds(doc_id) BETWEEN TIMESTAMP '2025-10-24 00:02:00' AND TIMESTAMP '2025-10-24 00:06:00')"),
     "dd_exact" ->
       """SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -17,8 +17,28 @@ final case class PhraseQ(terms: Seq[String], slop: Int = 0) extends Query
 
 /** Doc-attribute equality (e.g. lang = "en") — non-scoring, usable in
   * FILTER/MUST_NOT context; evaluated against the docs table (the
-  * docvalues analogue). */
+  * docvalues analogue). Any docs-table column (lang, url, ts, dl …). */
 final case class AttrQ(name: String, value: String) extends Query
+
+/** Doc-attribute range (numeric / timestamp / lexicographic, typed from
+  * the docs schema) — the PointRangeQuery / BKD analogue
+  * [U lucene/core/.../search/PointRangeQuery.java]; None = open end. */
+final case class AttrRangeQ(name: String,
+                            lo: Option[String], hi: Option[String],
+                            includeLo: Boolean = true,
+                            includeHi: Boolean = true) extends Query
+
+/** Every live doc, constant score 1 — Solr's default `q=*:*`
+  * [U lucene/core/.../search/MatchAllDocsQuery.java]. */
+case object MatchAllQ extends Query
+
+/** No docs [U …/search/MatchNoDocsQuery.java]. */
+case object MatchNoneQ extends Query
+
+/** INTERNAL: an attribute predicate resolved to its index in the
+  * per-query predicate list (driver rewrites AttrQ/AttrRangeQ to PredQ
+  * before broadcast; executors look the bitset up by index). */
+private[search] final case class PredQ(idx: Int) extends Query
 
 /** Constant-score set membership: doc contains ANY of the terms; score
   * is constant (the SQL `IN` — [U …/search/TermInSetQuery.java], and the
@@ -74,7 +94,8 @@ object Query {
     case TermQ(t) => Seq(t)
     case PhraseQ(ts, _) => ts
     case TermSetQ(ts, _) => ts
-    case AttrQ(_, _) => Nil
+    case AttrQ(_, _) | AttrRangeQ(_, _, _, _, _) | MatchAllQ | MatchNoneQ
+         | PredQ(_) => Nil
     case BoostQ(inner, _) => collectTerms(inner)
     case ConstScoreQ(inner, _) => collectTerms(inner)
     case DisMaxQ(qs, _) => qs.flatMap(collectTerms).distinct
@@ -84,15 +105,62 @@ object Query {
       (b.must ++ b.should ++ b.mustNot ++ b.filter).flatMap(collectTerms).distinct
   }
 
-  /** Does evaluation need the docs table (attribute filters)? */
+  /** Does evaluation need the docs table (attribute filters / match-all)? */
   def needsDocs(q: Query): Boolean = q match {
-    case AttrQ(_, _) => true
+    case AttrQ(_, _) | AttrRangeQ(_, _, _, _, _) | MatchAllQ | PredQ(_) => true
     case BoostQ(inner, _) => needsDocs(inner)
     case ConstScoreQ(inner, _) => needsDocs(inner)
     case DisMaxQ(qs, _) => qs.exists(needsDocs)
     case b: BoolQ =>
       (b.must ++ b.should ++ b.mustNot ++ b.filter).exists(needsDocs)
     case _ => false
+  }
+
+  /** Distinct attribute predicates in the query, in first-seen order —
+    * each becomes one boolean column of the docs scan / one per-segment
+    * bitset (the docvalues-filter analogue). */
+  def attrPreds(q: Query): Seq[Query] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[Query]
+    def walk(x: Query): Unit = x match {
+      case a: AttrQ => out += a
+      case a: AttrRangeQ => out += a
+      case BoostQ(inner, _) => walk(inner)
+      case ConstScoreQ(inner, _) => walk(inner)
+      case DisMaxQ(qs, _) => qs.foreach(walk)
+      case b: BoolQ =>
+        (b.must ++ b.should ++ b.mustNot ++ b.filter).foreach(walk)
+      case _ => ()
+    }
+    walk(q)
+    out.toSeq
+  }
+
+  /** Does the query contain MatchAllQ (forces full docs-row delivery)? */
+  def containsMatchAll(q: Query): Boolean = q match {
+    case MatchAllQ => true
+    case BoostQ(inner, _) => containsMatchAll(inner)
+    case ConstScoreQ(inner, _) => containsMatchAll(inner)
+    case DisMaxQ(qs, _) => qs.exists(containsMatchAll)
+    case b: BoolQ =>
+      (b.must ++ b.should ++ b.mustNot ++ b.filter).exists(containsMatchAll)
+    case _ => false
+  }
+
+  /** Replace each attribute predicate with its PredQ index (driver-side,
+    * before broadcast; `preds` must come from `attrPreds(q)`). */
+  private[search] def indexPreds(q: Query, preds: Seq[Query]): Query = {
+    val idx = preds.zipWithIndex.toMap
+    def walk(x: Query): Query = x match {
+      case a: AttrQ => PredQ(idx(a))
+      case a: AttrRangeQ => PredQ(idx(a))
+      case BoostQ(inner, b) => BoostQ(walk(inner), b)
+      case ConstScoreQ(inner, s) => ConstScoreQ(walk(inner), s)
+      case DisMaxQ(qs, t) => DisMaxQ(qs.map(walk), t)
+      case b: BoolQ => BoolQ(b.must.map(walk), b.should.map(walk),
+        b.mustNot.map(walk), b.filter.map(walk), b.minShouldMatch)
+      case other => other
+    }
+    walk(q)
   }
 
   def and(terms: String*): Query = BoolQ(must = terms.map(TermQ.apply))

@@ -205,6 +205,30 @@ final class RelationalPath(idx: graft.index.IndexView) {
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang")
 
+  /** MatchAllDocsQuery analogue (`q=*:*`): every live doc, constant
+    * score ⇒ rank = docId (url-rank) order
+    * [U lucene/core/.../search/MatchAllDocsQuery.java]. */
+  def matchAllTopK(k: Int): DataFrame =
+    docsWithId.select(col("docId"), col("doc_id"))
+      .orderBy(asc("docId"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(asc("docId"))))
+      .select(col("rank").cast("int").as("rank"), col("doc_id"))
+      .orderBy("rank")
+
+  /** Scored term + non-scoring timestamp-range filter — the
+    * PointRangeQuery / BKD analogue over the docs table
+    * [U lucene/core/.../search/PointRangeQuery.java]; the range
+    * comparison is pushed into the docs parquet scan. */
+  def tsRangeTopK(term: String, loTs: String, hiTs: String, k: Int): DataFrame = {
+    val p = scoredTf(Seq(term)).select(col("docId"), col("doc_id"), col("score").as("s"))
+    val f = idx.docs
+      .filter(col("ts") >= to_timestamp(lit(loTs)) &&
+        col("ts") <= to_timestamp(lit(hiTs)))
+      .select("docId")
+    rankTopK(p.join(f, Seq("docId"), "left_semi"), k)
+  }
+
   /** Exact-phrase matching docs (ascending doc_id), two-phase:
     * conjunction candidates, then position verification. */
   def phraseDocs(terms: Seq[String]): DataFrame = {

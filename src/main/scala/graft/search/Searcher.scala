@@ -94,16 +94,45 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
       .orderBy("rank")
   }
 
+  /** Attribute predicate → boolean Column over the docs table, typed
+    * from the docs schema (timestamp values parse, numerics cast) — the
+    * docvalues-filter analogue; Catalyst pushes the comparison into the
+    * parquet scan. */
+  private def predColumn(p: Query): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    def litFor(name: String, v: String): org.apache.spark.sql.Column =
+      idx.docs.schema(name).dataType match {
+        case TimestampType => to_timestamp(lit(v))
+        case dt: NumericType => lit(v).cast(dt)
+        case _ => lit(v)
+      }
+    p match {
+      case AttrQ(name, v) => col(name) === litFor(name, v)
+      case AttrRangeQ(name, lo, hi, il, ih) =>
+        val c = col(name)
+        val conds =
+          lo.map(v => if (il) c >= litFor(name, v) else c > litFor(name, v)).toSeq ++
+            hi.map(v => if (ih) c <= litFor(name, v) else c < litFor(name, v))
+        if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
+      case other => sys.error(s"not an attribute predicate: $other")
+    }
+  }
+
   /** All scored hits of `q`, unranked (k caps per-segment emission when
     * > 0; pass k <= 0 for exhaustive evaluation). Multi-term queries
     * are expanded against the term dictionary first (Query#rewrite). */
   def scoredHits(q0: Query, k: Int,
                  after: Option[(Float, Long)] = None): Dataset[(Long, Float)] = {
-    val q = Rewriter.rewrite(q0, new IndexTermDict(idx))
+    val qRewritten = Rewriter.rewrite(q0, new IndexTermDict(idx))
+    // attribute predicates become indexed bitset lookups: evaluated ONCE
+    // in the docs scan (pushdown-friendly), shipped as booleans
+    val preds = Query.attrPreds(qRewritten)
+    val q = Query.indexPreds(qRewritten, preds)
     val ctx = context(q)
     val bcCtx = idx.spark.sparkContext.broadcast(ctx)
     val bcQ = idx.spark.sparkContext.broadcast(q)
     val terms = Query.collectTerms(q)
+    val hasMatchAll = Query.containsMatchAll(q)
     if (terms.isEmpty && !Query.needsDocs(q)) return idx.spark.emptyDataset[(Long, Float)]
     val rows =
       if (terms.isEmpty) idx.postings.limit(0)
@@ -112,14 +141,26 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
     // deletes are subtracted INSIDE the per-segment scorer (a deleted
     // doc must not occupy a top-k slot), via the docs cogroup path
     if (Query.needsDocs(q) || idx.hasDeletes) {
-      val base = idx.docs.select(col("segId"), col("docId"), col("lang"))
-      val docsLite = (if (idx.hasDeletes)
-        base.join(idx.tombstones.toDF("docId").withColumn("del", lit(true)),
-          Seq("docId"), "left")
-          .select(col("segId"), col("docId"), col("lang"),
-            coalesce(col("del"), lit(false)).as("del"))
-      else base.withColumn("del", lit(false)))
-        .as[(Int, Long, String, Boolean)]
+      val predCols = preds.map(predColumn)
+      val withDel =
+        if (idx.hasDeletes)
+          idx.docs.join(idx.tombstones.toDF("docId").withColumn("del", lit(true)),
+            Seq("docId"), "left")
+            .withColumn("del", coalesce(col("del"), lit(false)))
+        else idx.docs.withColumn("del", lit(false))
+      // pre-filter: only rows that can influence scoring travel to the
+      // cogroup — any referenced predicate true, or tombstoned (full
+      // rows only for MatchAll, which genuinely needs every doc)
+      val needed =
+        if (hasMatchAll) lit(true)
+        else (predCols :+ col("del")).reduce(_ || _)
+      val docsLite = withDel
+        .filter(needed)
+        .select(col("segId"), col("docId"),
+          (if (predCols.isEmpty) array().cast("array<boolean>")
+           else array(predCols: _*)).as("preds"),
+          col("del"))
+        .as[(Int, Long, Seq[Boolean], Boolean)]
       val aft = after
       rows.groupByKey(_.segId)
         .cogroup(docsLite.groupByKey(_._1)) { (segId, ps, ds) =>
@@ -138,10 +179,15 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
 object SegmentScorer {
 
   /** Score one segment's postings for `q`; emits at most k hits
-    * (k <= 0 → all hits). `docsIt` present only for attribute filters. */
+    * (k <= 0 → all hits). `docsIt` present only for attribute filters /
+    * match-all / deletes (pre-filtered on the driver side to the rows
+    * that can influence scoring). Query term clauses absent from this
+    * segment compile to EmptyScorer and Boolean semantics decide — a
+    * query with an attr-only required part plus optional/negated term
+    * clauses still matches (Lucene BooleanQuery semantics). */
   def score(q: Query, ctx: ScoringContext,
             postings: Iterator[PostingsRow],
-            docsIt: Option[Iterator[(Int, Long, String, Boolean)]],
+            docsIt: Option[Iterator[(Int, Long, Seq[Boolean], Boolean)]],
             k: Int,
             after: Option[(Float, Long)] = None): Iterator[(Long, Float)] = {
     // term → salt-ordered concatenated blocks
@@ -154,34 +200,34 @@ object SegmentScorer {
       case (t, rows) => t -> rows.sortBy(_.salt).flatMap(_.blocks).toIndexedSeq
     }.toMap
 
-    // attribute bitsets (lang) + deleted-docs bitset — 1 bit per seg doc
+    // per-predicate bitsets + all-docs bitset + deleted bitset — 1 bit
+    // per segment doc, shared base docId
     var deleted: Option[(java.util.BitSet, Long)] = None
-    val langBits: Map[String, (java.util.BitSet, Long)] = docsIt match {
-      case None => Map.empty
-      case Some(it) =>
-        val rows = it.toArray
-        if (rows.isEmpty) Map.empty
-        else {
-          val minDoc = rows.iterator.map(_._2).min
-          val byLang = mutable.HashMap.empty[String, java.util.BitSet]
-          val delBits = new java.util.BitSet()
-          var anyDel = false
-          rows.foreach { case (_, docId, lang, del) =>
-            byLang.getOrElseUpdate(lang, new java.util.BitSet())
-              .set((docId - minDoc).toInt)
-            if (del) { delBits.set((docId - minDoc).toInt); anyDel = true }
-          }
-          if (anyDel) deleted = Some((delBits, minDoc))
-          byLang.iterator.map { case (l, b) => l -> (b, minDoc) }.toMap
+    var predBits: IndexedSeq[(java.util.BitSet, Long)] = IndexedSeq.empty
+    var allBits: Option[(java.util.BitSet, Long)] = None
+    docsIt.foreach { it =>
+      val rows = it.toArray
+      if (rows.nonEmpty) {
+        val minDoc = rows.iterator.map(_._2).min
+        val np = rows(0)._3.length
+        val pb = Array.fill(np)(new java.util.BitSet())
+        val all = new java.util.BitSet()
+        val delBits = new java.util.BitSet()
+        var anyDel = false
+        rows.foreach { case (_, docId, ps, del) =>
+          val off = (docId - minDoc).toInt
+          all.set(off)
+          var i = 0
+          while (i < np) { if (ps(i)) pb(i).set(off); i += 1 }
+          if (del) { delBits.set(off); anyDel = true }
         }
-    }
-    if (byTerm.isEmpty && Query.collectTerms(q).nonEmpty) {
-      // terms exist in the query but none in this segment: a pure-attr
-      // query would still match; scored queries need at least one term
-      if (!pureFilter(q)) return Iterator.empty
+        if (anyDel) deleted = Some((delBits, minDoc))
+        predBits = pb.map(b => (b, minDoc)).toIndexedSeq
+        allBits = Some((all, minDoc))
+      }
     }
 
-    val scorer0 = compile(q, ctx, termBlocks, langBits)
+    val scorer0 = compile(q, ctx, termBlocks, predBits, allBits)
     // live-docs filter: required-but-not-scoring exclusion of tombstones
     // [U …/search/ReqExclScorer + the .liv bitset]
     val scorer = deleted match {
@@ -209,20 +255,14 @@ object SegmentScorer {
     }
   }
 
-  private def pureFilter(q: Query): Boolean = q match {
-    case AttrQ(_, _) => true
-    case b: BoolQ =>
-      (b.must ++ b.should ++ b.filter).forall(pureFilter) && b.mustNot.forall(pureFilter)
-    case _ => false
-  }
-
   private def termScorer(t: String, ctx: ScoringContext,
                          blocks: Map[String, IndexedSeq[Block]]): TermScorer =
     new TermScorer(blocks.getOrElse(t, IndexedSeq.empty), ctx.weightOf(t), ctx.cache)
 
   def compile(q: Query, ctx: ScoringContext,
               blocks: Map[String, IndexedSeq[Block]],
-              langBits: Map[String, (java.util.BitSet, Long)]): DocScorer = q match {
+              predBits: IndexedSeq[(java.util.BitSet, Long)],
+              allBits: Option[(java.util.BitSet, Long)]): DocScorer = q match {
     case TermQ(t) => termScorer(t, ctx, blocks)
     case PhraseQ(ts, slop) =>
       // weight = Σ constituent idfs, float-accumulated in phrase order
@@ -230,31 +270,40 @@ object SegmentScorer {
       ts.foreach(t => w += ctx.weightOf(t))
       if (ts.exists(t => !blocks.contains(t))) new EmptyScorer
       else new PhraseScorer(ts.map(t => termScorer(t, ctx, blocks)).toIndexedSeq, w, ctx.cache, slop)
-    case AttrQ("lang", v) =>
-      langBits.get(v) match {
-        case Some((bits, minDoc)) => new BitsetScorer(bits, minDoc)
+    case PredQ(i) =>
+      if (i < predBits.length) {
+        val (bits, minDoc) = predBits(i)
+        new BitsetScorer(bits, minDoc)
+      } else new EmptyScorer
+    case MatchAllQ =>
+      allBits match {
+        case Some((bits, minDoc)) =>
+          new ConstScorer(new BitsetScorer(bits, minDoc), 1f)
         case None => new EmptyScorer
       }
+    case MatchNoneQ => new EmptyScorer
     case AttrQ(name, _) =>
-      sys.error(s"unsupported attribute filter: $name")
+      sys.error(s"attribute predicate not indexed before compile: $name")
+    case AttrRangeQ(name, _, _, _, _) =>
+      sys.error(s"attribute predicate not indexed before compile: $name")
     case TermSetQ(ts, s) =>
       new ConstScorer(new BoolScorer(IndexedSeq.empty, IndexedSeq.empty,
         ts.map(t => termScorer(t, ctx, blocks)).toIndexedSeq,
         IndexedSeq.empty, 1), s)
     case BoostQ(inner, b) =>
-      new BoostScorer(compile(inner, ctx, blocks, langBits), b)
+      new BoostScorer(compile(inner, ctx, blocks, predBits, allBits), b)
     case ConstScoreQ(inner, s) =>
-      new ConstScorer(compile(inner, ctx, blocks, langBits), s)
+      new ConstScorer(compile(inner, ctx, blocks, predBits, allBits), s)
     case DisMaxQ(qs, t) =>
-      new DisMaxScorer(qs.map(compile(_, ctx, blocks, langBits)).toIndexedSeq, t)
+      new DisMaxScorer(qs.map(compile(_, ctx, blocks, predBits, allBits)).toIndexedSeq, t)
     case _: PrefixQ | _: WildcardQ | _: FuzzyQ | _: TermRangeQ =>
       sys.error(s"multi-term query must be rewritten before compile: $q")
     case BoolQ(must, should, mustNot, filt, mm) =>
       new BoolScorer(
-        must.map(compile(_, ctx, blocks, langBits)).toIndexedSeq,
-        filt.map(compile(_, ctx, blocks, langBits)).toIndexedSeq,
-        should.map(compile(_, ctx, blocks, langBits)).toIndexedSeq,
-        mustNot.map(compile(_, ctx, blocks, langBits)).toIndexedSeq,
+        must.map(compile(_, ctx, blocks, predBits, allBits)).toIndexedSeq,
+        filt.map(compile(_, ctx, blocks, predBits, allBits)).toIndexedSeq,
+        should.map(compile(_, ctx, blocks, predBits, allBits)).toIndexedSeq,
+        mustNot.map(compile(_, ctx, blocks, predBits, allBits)).toIndexedSeq,
         mm)
   }
 

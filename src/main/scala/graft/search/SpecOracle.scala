@@ -92,8 +92,23 @@ final class SpecOracle(corpus: Seq[(String, String, String)],
           Some(BM25.score(w, freq.toFloat, cache(normOf(docId) & 0xFF)))
         }
       }
+    case MatchAllQ => Some(1f)
+    case MatchNoneQ => None
     case AttrQ("lang", v) => if (langOf(docId) == v) Some(0f) else None
+    case AttrQ("url", v) => if (urlOf(docId) == v) Some(0f) else None
     case AttrQ(n, _) => sys.error(s"unsupported attr $n")
+    case AttrRangeQ(name, lo, hi, il, ih) =>
+      // lexicographic semantics on the oracle's string attributes —
+      // engine timestamps/numerics are gated via the DuckDB oracle
+      val v = name match {
+        case "lang" => langOf(docId)
+        case "url" => urlOf(docId)
+        case n => sys.error(s"unsupported attr $n")
+      }
+      val okLo = lo.forall(l => if (il) v >= l else v > l)
+      val okHi = hi.forall(h => if (ih) v <= h else v < h)
+      if (okLo && okHi) Some(0f) else None
+    case PredQ(i) => sys.error(s"internal PredQ($i) reached the SpecOracle")
     case TermSetQ(ts, s) =>
       if (ts.exists(t => postings.get(t).exists(_.contains(docId)))) Some(s) else None
     case BoostQ(inner, b) => scoreDoc(inner, docId).map(b * _)

@@ -39,7 +39,7 @@ class RandomizedSearchSpec extends SparkSpec {
     if (rnd.nextInt(10) == 0) "absent_term" else vocab(rnd.nextInt(vocab.length))
 
   private def randQuery(rnd: Random, depth: Int = 0): Query =
-    rnd.nextInt(if (depth == 0) 12 else 8) match {
+    rnd.nextInt(if (depth == 0) 16 else 8) match {
       case 0 => TermQ(randTerm(rnd))
       case 1 => Query.and((0 until 2 + rnd.nextInt(2)).map(_ => randTerm(rnd)): _*)
       case 2 => Query.or((0 until 2 + rnd.nextInt(3)).map(_ => randTerm(rnd)): _*)
@@ -60,6 +60,25 @@ class RandomizedSearchSpec extends SparkSpec {
         must = Seq(randQuery(rnd, depth + 1)),
         should = Seq(TermQ(randTerm(rnd))),
         mustNot = if (rnd.nextBoolean()) Seq(TermQ(randTerm(rnd))) else Nil)
+      case 12 => if (rnd.nextBoolean()) MatchAllQ
+        else BoolQ(must = Seq(MatchAllQ), mustNot = Seq(TermQ(randTerm(rnd))))
+      // attr-only required part + optional / negated term clauses —
+      // a segment with none of the terms must still emit attr matches
+      case 13 => BoolQ(
+        must = Seq(AttrQ("lang", langs(rnd.nextInt(langs.length)))),
+        should = Seq(TermQ(randTerm(rnd)), TermQ(randTerm(rnd))),
+        minShouldMatch = rnd.nextInt(2),
+        mustNot = if (rnd.nextBoolean()) Seq(TermQ(randTerm(rnd))) else Nil)
+      case 14 =>
+        val a = rnd.nextInt(300); val b = a + rnd.nextInt(300)
+        BoolQ(must = Seq(TermQ(randTerm(rnd))),
+          filter = Seq(AttrRangeQ("url",
+            Some(f"https://r/$a%05d"), Some(f"https://r/$b%05d"),
+            includeLo = rnd.nextBoolean(), includeHi = rnd.nextBoolean())))
+      case 15 => BoolQ(
+        should = Seq(AttrQ("lang", langs(rnd.nextInt(langs.length))),
+          TermQ(randTerm(rnd))),
+        minShouldMatch = 1 + rnd.nextInt(2))
     }
 
   private def toPages(corpus: Seq[(String, String, String)]): Dataset[Page] = {

@@ -40,7 +40,18 @@ class SearchSpec extends SparkSpec {
       Seq(BoostQ(TermQ("spark"), 2f), TermQ("merge"))),
     "q16 wildcard *dow" -> WildcardQ("*dow"),
     "q17 const-score and" -> ConstScoreQ(Query.and("spark", "join"), 1.5f),
-    "q18 termset" -> TermSetQ(Seq("dup", "window")))
+    "q18 termset" -> TermSetQ(Seq("dup", "window")),
+    "q19 match-all" -> MatchAllQ,
+    "q20 match-all minus spark" -> BoolQ(must = Seq(MatchAllQ),
+      mustNot = Seq(TermQ("spark"))),
+    // attr-only required part + optional term clause (mm=0): segments
+    // with no postings for the term must STILL emit their attr matches
+    "q21 attr-must + optional absent term" -> BoolQ(
+      must = Seq(AttrQ("lang", "en")),
+      should = Seq(TermQ("zzz_absent"), TermQ("spark"))),
+    "q22 url-range filter" -> BoolQ(must = Seq(TermQ("the")),
+      filter = Seq(AttrRangeQ("url",
+        Some("https://example.com/a"), Some("https://example.com/d")))))
 
   test("rank + exact float32 score identity vs SpecOracle, k=10") {
     querySet.foreach { case (name, q) =>
