@@ -100,10 +100,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docsTable(s, d), n = 3, threshold = 0.12)),
     "dd_minhash_lsh" -> ((s, d) =>
       Dedup.minhashNearDups(docsTable(s, d), threshold = 0.12)),
-    "dd_simhash" -> ((s, d) => Dedup.simhashNearDups(docsTable(s, d), maxDist = 18)),
+    // maxDist=3 matches the 4-band pigeonhole recall guarantee (wider
+    // distances need multi-table SimHash — see Dedup.simhashNearDups)
+    "dd_simhash" -> ((s, d) => Dedup.simhashNearDups(docsTable(s, d), maxDist = 3)),
     // ---- text analysis ----
     "tx_counts" -> ((s, d) => TextStats.countingStats(docsTable(s, d)).orderBy("doc_id")),
-    "tx_quality" -> ((s, d) => TextStats.qualityScore(docsTable(s, d)).orderBy("doc_id")),
+    "tx_quality" -> ((s, d) => TextStats.qualityPpm(docsTable(s, d)).orderBy("doc_id")),
     "tx_langid" -> ((s, d) => TextStats.langId(docsTable(s, d)).orderBy("doc_id")),
     "tx_fp_md5" -> ((s, d) => TextStats.md5Fingerprint(docsTable(s, d)).orderBy("doc_id")),
     "tx_fp_rolling" -> ((s, d) => TextStats.rollingFingerprint(docsTable(s, d)).orderBy("doc_id")),
@@ -288,6 +290,42 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.12
         |ORDER BY a, b""".stripMargin,
+    // exact-Jaccard pair set ≥ threshold — the LSH gate's verification
+    // step makes its output deterministic and SQL-checkable (recall at
+    // the planted similarities ≥ 0.9 is 1 − (1−s⁴)¹⁶ ≈ 1)
+    "dd_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END AS gs
+        |  FROM toks), unnest(gs) AS u(g)),
+        |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS i
+        |  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id GROUP BY 1, 2)
+        |SELECT a, b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard FROM inter
+        |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.12
+        |ORDER BY a, b""".stripMargin,
+    // full SimHash restated in mod-2^64 HUGEINT SQL: FNV-1a per token,
+    // ±1 bit voting, pairwise popcount ≤ maxDist — exact because the
+    // band bucketing guarantees recall at maxDist=3
+    "dd_simhash" ->
+      """WITH tokh AS (SELECT doc_id, list_transform(string_split(text,' '), t ->
+        |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(string_split(t,''), c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs
+        |  FROM documents),
+        |bits AS (SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM tokh, unnest(hs) AS u(h), generate_series(0,63) g(b) GROUP BY doc_id, b),
+        |shh AS (SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS h
+        |  FROM bits GROUP BY doc_id),
+        |shs AS (SELECT doc_id,
+        |    (CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS sh
+        |  FROM shh)
+        |SELECT l.doc_id AS a, r.doc_id AS b, CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS dist
+        |FROM shs l JOIN shs r ON l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.sh, r.sh)) <= 3 ORDER BY a, b""".stripMargin,
     "tx_counts" ->
       """SELECT doc_id,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -297,6 +335,108 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tx_fp_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    // quality blend re-stated in SQL with the identical IEEE-double op
+    // sequence; integer ppm output makes the hash comparison exact
+    "tx_quality" ->
+      """WITH c AS (SELECT doc_id,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens,
+        |  length(text)::BIGINT AS n_chars,
+        |  len(list_filter(string_split(text,' '), x -> x IN
+        |    ('a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with')))::BIGINT AS n_stop
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        |  least(n_tokens / 32.0, 1.0) * 0.5
+        |  + least((n_stop / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.25
+        |  + (CASE WHEN ((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25 AS raw
+        | FROM c)
+        |SELECT doc_id, round(raw * 1000000)::BIGINT AS quality_ppm FROM q ORDER BY doc_id""".stripMargin,
+    // n-gram profile counting via non-overlapping replace() — exact for
+    // these profiles (no gram can self-overlap); tie-break (score desc,
+    // lang asc) mirrors TextStats.langIdOf
+    "tx_langid" ->
+      """WITH grams(lang, g) AS (VALUES
+        | ('en',' th'),('en','the'),('en','he '),('en',' an'),('en','and'),('en','nd '),('en',' of'),('en','of '),('en','ing'),('en',' to'),
+        | ('de','der'),('de','ie '),('de',' de'),('de','ein'),('de','sch'),('de','ich'),('de','nde'),('de','die'),('de','und'),('de',' un'),
+        | ('fr',' de'),('fr','de '),('fr',' le'),('fr','es '),('fr','le '),('fr','ent'),('fr',' la'),('fr','tio'),('fr','on '),('fr','que'),
+        | ('es',' de'),('es','de '),('es','os '),('es',' la'),('es','la '),('es','el '),('es',' el'),('es','que'),('es',' qu'),('es','ión'),
+        | ('zh','的'),('zh','了'),('zh','是'),('zh','在'),('zh','我'),('zh','有'),('zh','他'),('zh','这'),('zh','中'),('zh','大')),
+        |t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |cnt AS (SELECT doc_id, lang,
+        |    sum((length(t) - length(replace(t, g, ''))) // length(g))::BIGINT AS s
+        |  FROM t CROSS JOIN grams GROUP BY doc_id, lang),
+        |best AS (SELECT doc_id, lang, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+        |  FROM cnt)
+        |SELECT doc_id, CASE WHEN s = 0 THEN 'und' ELSE lang END AS lang_pred
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // FNV-1a + Karp-Rabin in mod-2^64 HUGEINT arithmetic (sequential
+    // list_reduce folds = the same wraparound Long ops as the engine)
+    "tx_fp_rolling" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |fp AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::HUGEINT, list_transform(ts, t ->
+        |      list_reduce(
+        |        list_prepend(14695981039346656037::HUGEINT,
+        |                     list_transform(string_split(t,''), c -> ord(c)::HUGEINT)),
+        |        (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT))),
+        |    (acc, th) -> (acc * 1000003::HUGEINT + th) % 18446744073709551616::HUGEINT) AS h
+        | FROM toks)
+        |SELECT doc_id,
+        |  (CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS fp64
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    // exact cosine top-k; sequential list_reduce folds reproduce the
+    // engine's aggregate() left-fold bit-for-bit, so ranks are exact
+    "ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |pairs AS (SELECT q.q_id, e.vec_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.embedding)),
+        |      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (a,x) -> a + x)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.embedding)),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(q.qe)),
+        |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)), (a,x) -> a + x))) AS cos
+        | FROM e CROSS JOIN q),
+        |r AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank FROM pairs)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // full SRP-LSH restated in SQL: the deterministic hyperplane hash
+    // (splitmix-style finalizer in mod-2^64 HUGEINT arithmetic, 32-bit
+    // split modmul), bucket assignment, in-bucket exact cosine re-rank
+    "ann_lsh" ->
+      """WITH w AS (
+        |  SELECT p, d,
+        |    (CASE WHEN h4 >= 9223372036854775808::HUGEINT THEN h4 - 18446744073709551616::HUGEINT ELSE h4 END)::DOUBLE
+        |      / CAST(9223372036854775807 AS DOUBLE) AS wt
+        |  FROM (
+        |    SELECT p, d, xor(h3, h3 >> 33) AS h4 FROM (
+        |      SELECT p, d,
+        |        (((h2 >> 32) * 18397679294719823053::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |         + (h2 % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS h3
+        |      FROM (
+        |        SELECT p, d, xor(h1, h1 >> 33) AS h2 FROM (
+        |          SELECT p, d, (11400714819323198485::HUGEINT * (p*257 + d + 1)) % 18446744073709551616::HUGEINT AS h1
+        |          FROM generate_series(0,5) s1(p), generate_series(0,63) s2(d)) a) a2) b) c),
+        |wl AS (SELECT p, list(wt ORDER BY d) AS ws FROM w GROUP BY p),
+        |bk AS (SELECT e.vec_id, sum(CASE WHEN
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64),
+        |      i -> e.embedding[i]::DOUBLE * wl.ws[i])), (a,x) -> a + x) >= 0
+        |    THEN (1::BIGINT << wl.p) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e CROSS JOIN wl GROUP BY e.vec_id),
+        |q AS (SELECT e.vec_id AS q_id, e.embedding AS qe, bk.bucket
+        |      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id < 8),
+        |cand AS (SELECT q.q_id, e.vec_id, q.qe, e.embedding AS ee
+        |  FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id JOIN q ON bk.bucket = q.bucket),
+        |pairs AS (SELECT q_id, vec_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ee)),
+        |      i -> ee[i]::DOUBLE * qe[i]::DOUBLE)), (a,x) -> a + x)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(ee)),
+        |      i -> ee[i]::DOUBLE * ee[i]::DOUBLE)), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(qe)),
+        |      i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (a,x) -> a + x))) AS cos
+        | FROM cand),
+        |r AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank FROM pairs)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "sx_facet_field" ->
       "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang",
     "sx_facet_range" ->

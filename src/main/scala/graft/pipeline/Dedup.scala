@@ -154,15 +154,23 @@ object Dedup {
     documents.select(col("doc_id").cast("long").as("doc_id"),
       simhashUdf(split(col("text"), " ")).as("simhash"))
 
-  /** SimHash near-dups: Hamming distance ≤ maxDist via 4×16-bit band
-    * bucketing (any pair within distance 3 shares at least one of 4
-    * bands — pigeonhole), then exact popcount verify. */
+  /** SimHash near-dups: Hamming distance ≤ maxDist via (maxDist+1)-band
+    * bucketing — any pair within distance maxDist leaves at least one
+    * band untouched (pigeonhole), so candidate recall is 100% BY
+    * CONSTRUCTION at the requested distance; exact popcount verify
+    * inside buckets. maxDist is capped so bands keep ≥ 8 bits (wider
+    * distances need multi-table permuted SimHash, not narrower bands —
+    * 1-bit bands would bucket the universe together). */
   def simhashNearDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist=$maxDist: band guarantee supported for 0..7 (8+ bands of <8 bits degenerate)")
+    val bands = maxDist + 1
+    val width = (64 + bands - 1) / bands
     val sh = simhash(documents)
-    val banded = sh.withColumn("band", explode(sequence(lit(0), lit(3))))
+    val banded = sh.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bandKey",
         concat_ws(":", col("band"),
-          expr("(simhash >> (band * 16)) & 65535")))
+          expr(s"shiftrightunsigned(simhash, band * $width) & ${(1L << width) - 1}L")))
     val pairs = banded.as("l").join(banded.as("r"),
         col("l.bandKey") === col("r.bandKey") &&
           col("l.doc_id") < col("r.doc_id"))

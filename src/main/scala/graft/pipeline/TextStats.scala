@@ -35,21 +35,32 @@ object TextStats {
         t => array_contains(lit(stops.toArray), t))).cast("long").as("n_stop"))
   }
 
-  /** Quality score in [0,1]: blend of length band, stopword ratio and
-    * mean token length — the shape of C4/CCNet-style heuristics, exact
-    * formula is this engine's own. */
-  def qualityScore(documents: DataFrame): DataFrame =
+  /** Raw quality blend in [0,1]: length band, stopword ratio, mean
+    * token length — the shape of C4/CCNet-style heuristics, exact
+    * formula is this engine's own. Pure double arithmetic over the
+    * counting stats (identical op sequence to the DuckDB oracle SQL). */
+  private def withQualityRaw(documents: DataFrame): DataFrame =
     countingStats(documents)
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
       .withColumn("mean_tok_len",
         (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
-      .withColumn("quality",
-        round(
-          least(col("n_tokens") / lit(32.0), lit(1.0)) * lit(0.5) +
-            least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.25) +
-            when(col("mean_tok_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0)) * lit(0.25),
-          6))
+      .withColumn("quality_raw",
+        least(col("n_tokens") / lit(32.0), lit(1.0)) * lit(0.5) +
+          least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.25) +
+          when(col("mean_tok_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0)) * lit(0.25))
+
+  def qualityScore(documents: DataFrame): DataFrame =
+    withQualityRaw(documents)
+      .withColumn("quality", round(col("quality_raw"), 6))
       .select("doc_id", "quality")
+
+  /** Oracle-gated variant: quality in integer parts-per-million (exact
+    * hash comparison across engines — no float-printing ambiguity). */
+  def qualityPpm(documents: DataFrame): DataFrame =
+    withQualityRaw(documents)
+      .withColumn("quality_ppm",
+        round(col("quality_raw") * lit(1000000.0)).cast("long"))
+      .select("doc_id", "quality_ppm")
 
   // ---------- language id ----------
 

@@ -51,13 +51,24 @@ class PipelineSpec extends SparkSpec {
     assert(got.subsetOf(exact))
   }
 
-  test("simhash: identical texts identical hash; dup pair surfaced") {
-    val sh = Dedup.simhash(docsDf(corpus)).collect()
+  test("simhash bucketing == exact pair set at recall-guaranteed distances") {
+    val df = docsDf(corpus)
+    val sh = Dedup.simhash(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(sh(0L) === sh(1L))
-    val pairs = Dedup.simhashNearDups(docsDf(corpus), maxDist = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 1L)))
+    assert(sh(0L) === sh(1L)) // identical text ⇒ identical hash
+    // pigeonhole guarantee: at maxDist ≤ bands−1 the banded candidates
+    // cover EVERY qualifying pair, so output == brute-force pair set
+    for (maxDist <- Seq(0, 3, 7)) {
+      val expected = (for {
+        a <- sh.keys; b <- sh.keys; if a < b
+        if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= maxDist
+      } yield (a, b)).toSet
+      val got = Dedup.simhashNearDups(df, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"maxDist=$maxDist")
+    }
+    // distances past the band guarantee are rejected, not silently lossy
+    assertThrows[IllegalArgumentException](Dedup.simhashNearDups(df, 18))
   }
 
   test("ANN: LSH recall vs brute force on real embeddings") {
