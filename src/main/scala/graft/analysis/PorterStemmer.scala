@@ -88,12 +88,18 @@ object PorterStemmer {
       w.dropRight(1) + "i"
     else w
 
+  /** Step-2 suffix map. Two deliberate departures from the published
+    * 1980 rules, matching Lucene's PorterStemmer (marked DEPARTURE in
+    * [U lucene/analysis/common/.../en/PorterStemmer.java]):
+    * "bli"→"ble" (generalizes "abli"→"able") and "logi"→"log" — so
+    * e.g. possibly→possibl and biology→biolog as in the reference. */
   private val step2Rules = Seq(
     "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
-    "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
+    "izer" -> "ize", "bli" -> "ble", "alli" -> "al", "entli" -> "ent",
     "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
     "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
-    "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+    "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble",
+    "logi" -> "log")
 
   private val step3Rules = Seq(
     "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",

@@ -51,40 +51,65 @@ object Deletes {
   def expire(idx: InvertedIndex, olderThan: java.sql.Timestamp): Unit =
     deleteWhere(idx, col("ts") < olderThan)
 
-  /** Rewrite the index dropping tombstoned docs: postings rows are
-    * decoded, filtered and re-blocked; docs rows dropped; stats and
-    * term stats recomputed; manifest generation bumped; tombstones
-    * cleared. A merge-policy compaction in one pass. */
+  /** Rewrite the index dropping tombstoned docs: postings are exploded
+    * to occurrences, ANTI-JOINED against the tombstone table (fully
+    * distributed — the tombstone set is never collected to the driver,
+    * so %-scale deletes of a web corpus stream through a shuffle
+    * instead of OOMing a broadcast), then regrouped and re-blocked with
+    * the primary build's block layout; docs rows dropped the same way;
+    * stats recomputed; manifest generation bumped; tombstones cleared.
+    * A merge-policy compaction in one pass. */
   def compact(idx: InvertedIndex): InvertedIndex = {
     val spark = idx.spark
     import spark.implicits._
     val dir = idx.dir
     if (!hasTombstones(dir)) return idx
 
-    val doomed = tombstones(spark, dir).collect().map(_.toLong).toSet
-    val bcDoomed = spark.sparkContext.broadcast(doomed)
+    val tomb = tombstones(spark, dir).toDF("docId")
 
-    val newDocs = idx.docs.filter(!col("docId").isin(doomed.toSeq: _*))
+    val newDocs = idx.docs.join(tomb, Seq("docId"), "left_anti")
     val stats = newDocs.agg(count(lit(1)), sum("dl").cast("long"))
       .as[(Long, Long)].head()
     val bm = graft.search.Bm25Stats(stats._1, stats._2)
     val bcStats = spark.sparkContext.broadcast(bm)
+    val blockSize = """"blockSize":\s*(\d+)""".r
+      .findFirstMatchIn(idx.manifest).map(_.group(1).toInt).getOrElse(128)
 
-    val newPostings = idx.postings.flatMap { r =>
-      val dead = bcDoomed.value
-      val kept = r.blocks.flatMap { b =>
+    val occurrences = idx.postings.flatMap { r =>
+      r.blocks.iterator.flatMap { b =>
         val docs = graft.util.VarInt.decodeDeltas(b.docs, b.count, b.firstDocId)
         val tfs = graft.util.VarInt.decodeInts(b.tfs, b.count)
         val pos = graft.util.VarInt.decodePositions(b.positions, tfs)
-        docs.indices.collect {
-          case i if !dead.contains(docs(i)) =>
-            (docs(i), tfs(i), b.norms(i), pos(i))
+        docs.indices.iterator.map(i =>
+          (r.segId, r.term, r.salt, docs(i), tfs(i), b.norms(i), pos(i)))
+      }
+    }.toDF("segId", "term", "salt", "docId", "tf", "norm", "pos")
+
+    val newPostings = occurrences
+      .join(tomb, Seq("docId"), "left_anti")
+      .repartition(col("segId"), col("term"), col("salt"))
+      .sortWithinPartitions("segId", "term", "salt", "docId")
+      .select("segId", "term", "salt", "docId", "tf", "norm", "pos")
+      .as[(Int, String, Int, Long, Int, Byte, Array[Int])]
+      .mapPartitions { it =>
+        // streaming regroup: input sorted by (segId, term, salt, docId)
+        val in = it.buffered
+        new Iterator[graft.model.PostingsRow] {
+          def hasNext: Boolean = in.hasNext
+          def next(): graft.model.PostingsRow = {
+            val head = in.head
+            val key = (head._1, head._2, head._3)
+            val group = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Int, Byte, Array[Int])]
+            while (in.hasNext && (in.head._1, in.head._2, in.head._3) == key) {
+              val r = in.next()
+              group += ((r._4, r._5, r._6, r._7))
+            }
+            IndexBuilder.reblock(key._1, key._2, key._3, group.toSeq,
+              bcStats.value, blockSize)
+          }
         }
       }
-      if (kept.isEmpty) Iterator.empty
-      else Iterator.single(
-        IndexBuilder.reblock(r.segId, r.term, r.salt, kept, bcStats.value))
-    }
 
     // write compacted tables to new dirs, then swap via manifest rewrite
     newPostings.toDF().write.mode("overwrite").parquet(s"$dir/postings2")

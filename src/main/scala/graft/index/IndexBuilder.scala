@@ -44,7 +44,14 @@ final case class IndexConfig(
     docIdBase: Long = 0L,
     segIdBase: Int = 0,
     stem: Boolean = false,
-    synonyms: Map[String, String] = Map.empty)
+    synonyms: Map[String, String] = Map.empty,
+    /** SPIMI RAM budget per task: when the in-memory byte-pool exceeds
+      * this, the partial inverted map is flushed as sorted runs and
+      * cleared (the DWPT flush-at-RAM-budget analogue
+      * [U lucene/core/.../index/DocumentsWriterFlushControl.java]) —
+      * an oversized/skewed partition degrades to more runs instead of
+      * OOMing; spills are doc-aligned so runs stay docId-disjoint. */
+    spimiSpillBytes: Long = 256L << 20)
 
 /** Batch inverted-index build (SURVEY.md §3.A):
   *
@@ -172,10 +179,12 @@ object IndexBuilder {
     // docId-contiguous slices so no reducer ever owns a whole web-scale
     // posting list (the SegmentMerger + TieredMergePolicy analogue).
     val postingsPath = s"$dir/postings"
+    val spillBytes = cfg.spimiSpillBytes
     runStage(postingsPath, stageSec) {
       parted.mapPartitions { it =>
         spimi(it, TaskContext.getPartitionId(), bcOffsets.value, partsPerSeg,
-          segBase, bcHot.value, numSalts, stopSet, maxLen, stem, syn)
+          segBase, bcHot.value, numSalts, stopSet, maxLen, stem, syn,
+          spillBytes)
       }
         .repartitionByRange(cfg.numPartitions, col("segId"), col("term"), col("salt"))
         .sortWithinPartitions("segId", "term", "salt", "firstDocId")
@@ -244,50 +253,86 @@ object IndexBuilder {
     }
 
   /** SPIMI in-memory inversion of one partition (≈ one
-    * DocumentsWriterPerThread at flush), fused with docId assignment and
-    * salt tagging. Docs arrive in docId order, so per-term postings are
-    * built already sorted. */
+    * DocumentsWriterPerThread), fused with docId assignment and salt
+    * tagging. Docs arrive in docId order, so per-term postings are
+    * built already sorted. When the byte-pool exceeds `spillBytes` the
+    * partial map is emitted as sorted runs and cleared (the DWPT
+    * flush-at-RAM-budget analogue); spills happen at doc boundaries so
+    * runs of one term have disjoint ascending docId ranges, which is
+    * exactly what `mergeRuns` already concatenates. */
   private def spimi(docs: Iterator[(String, String, String, java.sql.Timestamp)], pid: Int,
                     offsets: Array[Long], partsPerSeg: Int, segBase: Int,
                     hot: Set[String], numSalts: Int,
                     stopSet: Set[String], maxLen: Int,
                     stem: Boolean = false,
-                    syn: Map[String, String] = Map.empty): Iterator[Run] = {
+                    syn: Map[String, String] = Map.empty,
+                    spillBytes: Long = Long.MaxValue): Iterator[Run] = {
     val segId = segBase + pid / partsPerSeg
     val salt = (pid % partsPerSeg) * numSalts / partsPerSeg
-    val inv = new java.util.HashMap[String, PostingsBuf]()
     val perDoc = new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]()
-    var docId = offsets(pid) - 1L
-    docs.foreach { case (_, _, text, _) =>
-      docId += 1
-      perDoc.clear()
-      val tokens = Analysis.analyze(text, stopSet, maxLen, stem, syn)
-      var pos = 0
-      while (pos < tokens.length) {
-        val t = tokens(pos)
-        var b = perDoc.get(t)
-        if (b == null) { b = new mutable.ArrayBuilder.ofInt; perDoc.put(t, b) }
-        b += pos
-        pos += 1
+
+    new Iterator[Run] {
+      private var inv = new java.util.HashMap[String, PostingsBuf]()
+      private var poolBytes = 0L
+      private var docId = offsets(pid) - 1L
+      private var cur: Iterator[Run] = Iterator.empty
+      private var exhausted = false
+
+      private def ingest(row: (String, String, String, java.sql.Timestamp)): Unit = {
+        docId += 1
+        perDoc.clear()
+        val tokens = Analysis.analyze(row._3, stopSet, maxLen, stem, syn)
+        var pos = 0
+        while (pos < tokens.length) {
+          val t = tokens(pos)
+          var b = perDoc.get(t)
+          if (b == null) { b = new mutable.ArrayBuilder.ofInt; perDoc.put(t, b) }
+          b += pos
+          pos += 1
+        }
+        val norm = SmallFloat.intToByte4(tokens.length)
+        val d = docId
+        perDoc.forEach { (term, posB) =>
+          var buf = inv.get(term)
+          if (buf == null) {
+            buf = new PostingsBuf
+            inv.put(term, buf)
+            poolBytes += 64L + 2L * term.length // entry + key overhead
+          }
+          val before = buf.sizeBytes
+          buf.add(d, posB.result(), norm)
+          poolBytes += buf.sizeBytes - before
+        }
       }
-      val norm = SmallFloat.intToByte4(tokens.length)
-      val d = docId
-      perDoc.forEach { (term, posB) =>
-        var buf = inv.get(term)
-        if (buf == null) { buf = new PostingsBuf; inv.put(term, buf) }
-        buf.add(d, posB.result(), norm)
+
+      /** Emit the current map as term-sorted runs and reset the pool. */
+      private def flushRuns(): Iterator[Run] = {
+        if (inv.isEmpty) Iterator.empty
+        else {
+          val flushed = inv
+          inv = new java.util.HashMap[String, PostingsBuf]()
+          poolBytes = 0L
+          val terms = flushed.keySet().toArray(new Array[String](0))
+          java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
+          terms.iterator.map { term =>
+            val buf = flushed.get(term)
+            Run(pid, segId, term, if (hot.contains(term)) salt else 0,
+              buf.firstDocId, buf.count,
+              buf.docsEncoded, buf.tfsEncoded, buf.norms, buf.positionsEncoded)
+          }
+        }
       }
-    }
-    if (inv.isEmpty) Iterator.empty
-    else {
-      val terms = inv.keySet().toArray(new Array[String](0))
-      java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
-      terms.iterator.map { term =>
-        val buf = inv.get(term)
-        Run(pid, segId, term, if (hot.contains(term)) salt else 0,
-          buf.firstDocId, buf.count,
-          buf.docsEncoded, buf.tfsEncoded, buf.norms, buf.positionsEncoded)
+
+      def hasNext: Boolean = {
+        while (!cur.hasNext && !exhausted) {
+          while (docs.hasNext && poolBytes < spillBytes) ingest(docs.next())
+          if (!docs.hasNext) exhausted = true
+          cur = flushRuns()
+        }
+        cur.hasNext
       }
+
+      def next(): Run = if (hasNext) cur.next() else Iterator.empty.next()
     }
   }
 
@@ -323,6 +368,8 @@ object IndexBuilder {
     def tfsEncoded: Array[Byte] = tfB.result()
     def norms: Array[Byte] = normB.result()
     def positionsEncoded: Array[Byte] = posB.result()
+    def sizeBytes: Long =
+      docB.size.toLong + tfB.size + normB.size + posB.size
   }
 
   /** Merge consecutive runs with equal (segId, term, salt) — input is

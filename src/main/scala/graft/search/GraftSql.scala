@@ -23,10 +23,21 @@ object GraftSql {
 
   def registerViews(idx: IndexView): Unit = {
     val rel = new RelationalPath(idx)
-    idx.docs.toDF().createOrReplaceTempView("graft_docs")
+    // live-docs masking: tombstoned / cross-generation-shadowed docs are
+    // anti-joined out of every view, exactly like the scorer path —
+    // without this the SQL face would resurrect deleted documents
+    val liveDocs =
+      if (idx.hasDeletes)
+        idx.docs.toDF().join(idx.tombstones.toDF("docId"), Seq("docId"), "left_anti")
+      else idx.docs.toDF()
+    val tf0 = rel.tfTable().toDF("term", "docId", "tf")
+    val liveTf =
+      if (idx.hasDeletes)
+        tf0.join(idx.tombstones.toDF("docId"), Seq("docId"), "left_anti")
+      else tf0
+    liveDocs.createOrReplaceTempView("graft_docs")
     idx.termStats.createOrReplaceTempView("graft_termstats")
-    rel.tfTable().toDF("term", "docId", "tf")
-      .createOrReplaceTempView("graft_tf")
+    liveTf.createOrReplaceTempView("graft_tf")
     // full scored view: tf ⨝ stats ⨝ docs with the canonical formula
     val n = idx.stats.docCount
     val avgdl = idx.stats.sumTotalTermFreq.toDouble / idx.stats.docCount

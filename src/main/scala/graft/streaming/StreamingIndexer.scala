@@ -33,14 +33,17 @@ object StreamingIndexer {
 
   private def manifestPath(dir: String) = Paths.get(dir, "generations.json")
 
-  /** (genId, docCount) pairs from the streaming manifest. */
-  def generations(dir: String): Seq[(Long, Long)] = {
+  /** (genId, docCount, segsAllocated) triples from the streaming
+    * manifest (older manifests without "segs" read as 0 and keep their
+    * committed layout). */
+  def generations(dir: String): Seq[(Long, Long, Long)] = {
     val p = manifestPath(dir)
     if (!Files.exists(p)) Seq.empty
     else {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      """\{"gen":(\d+),"docs":(\d+)\}""".r.findAllMatchIn(s)
-        .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+      """\{"gen":(\d+),"docs":(\d+)(?:,"segs":(\d+))?\}""".r.findAllMatchIn(s)
+        .map(m => (m.group(1).toLong, m.group(2).toLong,
+          Option(m.group(3)).map(_.toLong).getOrElse(0L))).toSeq
     }
   }
 
@@ -50,7 +53,16 @@ object StreamingIndexer {
     val gens = generations(dir)
     if (gens.exists(_._1 == genId)) return // replayed batch — committed
     val docIdBase = gens.map(_._2).sum
-    val segIdBase = (genId * 1000000L).toInt
+    // segId block allocated from the RUNNING segment count — never a
+    // genId multiplier, which overflowed Int after ~2148 generations
+    // (colliding segIds cogrouped distinct generations into one segment
+    // with non-ascending blocks, breaking the scorers' binary search)
+    val segsAlloc =
+      (cfg.numPartitions + cfg.partsPerSegment - 1) / cfg.partsPerSegment
+    val segIdBase0 = gens.map(_._3).sum
+    require(segIdBase0 + segsAlloc <= Int.MaxValue.toLong,
+      s"segment id space exhausted: base=$segIdBase0 + $segsAlloc")
+    val segIdBase = segIdBase0.toInt
 
     // within-batch last-writer-wins by (url, warc_ts desc) — _version_
     val w = Window.partitionBy("url").orderBy(desc("warc_ts"))
@@ -62,8 +74,9 @@ object StreamingIndexer {
     val idx = IndexBuilder.build(spark, deduped, genDir,
       cfg.copy(docIdBase = docIdBase, segIdBase = segIdBase))
 
-    val newGens = gens :+ (genId, idx.stats.docCount)
-    val json = newGens.map { case (g, n) => s"""{"gen":$g,"docs":$n}""" }
+    val newGens = gens :+ ((genId, idx.stats.docCount, segsAlloc.toLong))
+    val json = newGens.map { case (g, n, k) =>
+      s"""{"gen":$g,"docs":$n,"segs":$k}""" }
       .mkString("[", ",", "]")
     val tmp = Paths.get(dir, ".generations.json.tmp")
     Files.createDirectories(Paths.get(dir))
@@ -97,9 +110,9 @@ object StreamingIndexer {
 final class GenerationalIndex(val spark: SparkSession, dir: String) extends IndexView {
   import spark.implicits._
 
-  private val gens: Seq[(Long, Long)] = StreamingIndexer.generations(dir)
+  private val gens: Seq[(Long, Long, Long)] = StreamingIndexer.generations(dir)
   require(gens.nonEmpty, s"no committed generations under $dir")
-  private def genDirs: Seq[String] = gens.map { case (g, _) => s"$dir/gen-$g" }
+  private def genDirs: Seq[String] = gens.map { case (g, _, _) => s"$dir/gen-$g" }
 
   val stats: Bm25Stats = {
     val per = genDirs.map(d => InvertedIndex.open(spark, d).stats)

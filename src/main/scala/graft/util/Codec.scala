@@ -153,4 +153,6 @@ final class ByteBuilder(initial: Int) {
     len += 1
   }
   def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  /** Bytes currently buffered (for RAM-budget accounting). */
+  def size: Int = len
 }

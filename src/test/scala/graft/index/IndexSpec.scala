@@ -110,6 +110,31 @@ class IndexSpec extends SparkSpec {
     assert(CheckIndex.audit(idx).isEmpty)
   }
 
+  test("SPIMI spill-at-RAM-budget ≡ unbudgeted build (byte-identical index)") {
+    // a tiny budget forces a spill after nearly every doc — many runs
+    // per (term, partition) — which mergeRuns must stitch back into the
+    // exact same blocks as the single-run build
+    val texts = (0 until 120).map(i =>
+      s"the common spark w$i x${i % 7} filler${i % 3} tail")
+    val ref = IndexBuilder.build(spark, mkPages(texts), tmpDir("nospill"),
+      IndexConfig(numPartitions = 3, partsPerSegment = 3, blockSize = 32,
+        hotTermDf = 40, numSalts = 2, hotSampleRate = 1.0))
+    val spilled = IndexBuilder.build(spark, mkPages(texts), tmpDir("spill"),
+      IndexConfig(numPartitions = 3, partsPerSegment = 3, blockSize = 32,
+        hotTermDf = 40, numSalts = 2, hotSampleRate = 1.0,
+        spimiSpillBytes = 64L)) // ≈ every couple of docs
+
+    def dump(idx: InvertedIndex) =
+      idx.postings.collect().sortBy(r => (r.segId, r.term, r.salt))
+        .map(r => (r.segId, r.term, r.salt, r.df, r.ttf,
+          r.blocks.map(b => (b.firstDocId, b.maxDocId, b.count, b.maxTf,
+            b.minNorm, b.maxImpact,
+            b.docs.toSeq, b.tfs.toSeq, b.norms.toSeq, b.positions.toSeq))))
+        .toSeq
+    assert(dump(spilled) === dump(ref))
+    assert(CheckIndex.audit(spilled).isEmpty)
+  }
+
   test("resume: completed stages are skipped, result identical") {
     val dir = tmpDir("resume")
     val pages = mkPages(miniTexts)

@@ -18,7 +18,11 @@ class ExtendedAnalysisSpec extends SparkSpec {
       "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
       "feed" -> "feed", "agreed" -> "agre", "motoring" -> "motor",
       "sing" -> "sing", "happy" -> "happi", "relational" -> "relat",
-      "conditional" -> "condit", "running" -> "run", "flies" -> "fli")
+      "conditional" -> "condit", "running" -> "run", "flies" -> "fli",
+      // Lucene DEPARTUREs from the published rules (bli→ble, logi→log;
+      // both still gated on measure(stem) > 0, hence biology→biologi):
+      "possibly" -> "possibl", "analogies" -> "analog",
+      "biology" -> "biologi", "logical" -> "logic")
     cases.foreach { case (in, out) =>
       assert(PorterStemmer.stem(in) === out, s"stem($in)")
     }
