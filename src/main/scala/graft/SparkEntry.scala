@@ -94,6 +94,11 @@ object SparkEntry {
     "ir_q19_matchall" -> ((s, d) => rel(s, d).matchAllTopK(10)),
     "ir_q20_tsrange" -> ((s, d) => rel(s, d).tsRangeTopK("spark",
       "2025-10-24 00:02:00", "2025-10-24 00:06:00", 10)),
+    // query-STRING entry point: lucene-dialect parse → relational exec
+    "ir_q21_qstring" -> ((s, d) =>
+      rel(s, d).forParsed(graft.search.QueryParser.parse("spark AND join"), 10)),
+    "ir_q22_qstring_attr" -> ((s, d) =>
+      rel(s, d).forParsed(graft.search.QueryParser.parse("+spark -merge +lang:en"), 10)),
     // ---- training-data pipeline: dedup (§prompt) ----
     "dd_exact" -> ((s, d) => Dedup.exactGroups(docsTable(s, d)).orderBy("keep_id")),
     "dd_ngram_jaccard" -> ((s, d) =>
@@ -274,6 +279,10 @@ object SparkEntry {
         |  FROM documents) WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "ir_q20_tsrange" -> topkSql(
       "SELECT s1.doc_id, s1.score AS s FROM scored s1 WHERE s1.term = 'spark' AND s1.doc_id IN (SELECT doc_id FROM documents WHERE TIMESTAMP '2025-10-24 00:00:00' + to_seconds(doc_id) BETWEEN TIMESTAMP '2025-10-24 00:02:00' AND TIMESTAMP '2025-10-24 00:06:00')"),
+    "ir_q21_qstring" -> topkSql(
+      "SELECT doc_id, sum(score) AS s FROM scored WHERE term IN ('spark','join') GROUP BY doc_id HAVING count(*) = 2"),
+    "ir_q22_qstring_attr" -> topkSql(
+      "SELECT s1.doc_id, s1.score AS s FROM scored s1 WHERE s1.term = 'spark' AND NOT EXISTS (SELECT 1 FROM scored s2 WHERE s2.term = 'merge' AND s2.doc_id = s1.doc_id) AND s1.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
     "dd_exact" ->
       """SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

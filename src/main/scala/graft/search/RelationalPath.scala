@@ -21,6 +21,33 @@ import graft.util.VarInt
   * Float32-exact scoring lives in the scorer path; ScalaTest asserts
   * both paths agree on ranks.
   */
+object RelationalPath {
+  /** Attribute predicate (AttrQ / AttrRangeQ) → boolean Column over the
+    * docs table, typed from its schema (timestamp values parse,
+    * numerics cast) — shared by the scorer path's bitset build and the
+    * relational executor; Catalyst pushes the comparison into the
+    * parquet scan. */
+  def attrPredColumn(schema: org.apache.spark.sql.types.StructType,
+                     p: Query): Column = {
+    import org.apache.spark.sql.types._
+    def litFor(name: String, v: String): Column = schema(name).dataType match {
+      case TimestampType => to_timestamp(lit(v))
+      case dt: NumericType => lit(v).cast(dt)
+      case _ => lit(v)
+    }
+    p match {
+      case AttrQ(name, v) => col(name) === litFor(name, v)
+      case AttrRangeQ(name, lo, hi, il, ih) =>
+        val c = col(name)
+        val conds =
+          lo.map(v => if (il) c >= litFor(name, v) else c > litFor(name, v)).toSeq ++
+            hi.map(v => if (ih) c <= litFor(name, v) else c < litFor(name, v))
+        if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
+      case other => sys.error(s"not an attribute predicate: $other")
+    }
+  }
+}
+
 final class RelationalPath(idx: graft.index.IndexView) {
   private val session = idx.spark
   import session.implicits._
@@ -204,6 +231,75 @@ final class RelationalPath(idx: graft.index.IndexView) {
       .join(idx.docs.select(col("docId"), col("lang")), "docId")
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang")
+
+  /** General Boolean top-k (the QParser → relational execution path):
+    * scored MUST/SHOULD term clauses with minimumShouldMatch, an
+    * optional non-scoring docs-attribute predicate, MUST_NOT terms.
+    * Generalizes andTopK/orTopK/notTopK/filterTopK into one plan. */
+  def boolTopK(must: Seq[String], should: Seq[String],
+               mustNot: Seq[String] = Nil,
+               attrFilter: Option[Column] = None,
+               mm: Int = 0, k: Int = 10): DataFrame = {
+    val mustD = must.distinct
+    val shouldD = should.distinct.filterNot(mustD.contains)
+    val scoredTerms = mustD ++ shouldD
+    if (scoredTerms.isEmpty)
+      return idx.spark.emptyDataFrame
+        .withColumn("rank", lit(0)).withColumn("doc_id", lit(0L))
+        .select("rank", "doc_id").limit(0)
+    val effMm = if (mustD.isEmpty) math.max(mm, 1) else mm
+    var perDoc = scoredTf(scoredTerms)
+      .withColumn("isMust", col("term").isin(mustD: _*))
+      .groupBy("docId", "doc_id")
+      .agg(sum("score").as("s"),
+        sum(when(col("isMust"), 1).otherwise(0)).as("nMust"),
+        sum(when(!col("isMust"), 1).otherwise(0)).as("nShould"))
+      .filter(col("nMust") === mustD.length)
+    if (shouldD.nonEmpty && effMm > 0)
+      perDoc = perDoc.filter(col("nShould") >= effMm)
+    var out = perDoc.select(col("docId"), col("doc_id"), col("s"))
+    if (mustNot.nonEmpty)
+      out = out.join(
+        tfTable(mustNot.distinct).toDF("term", "docId", "tf")
+          .select("docId").distinct(),
+        Seq("docId"), "left_anti")
+    attrFilter.foreach { pred =>
+      out = out.join(idx.docs.filter(pred).select("docId"), Seq("docId"), "left_semi")
+    }
+    rankTopK(out, k)
+  }
+
+  /** Execute a parsed query string on the relational path (the Solr
+    * QParser → index-operation compilation, SURVEY.md §3.C). Supports
+    * the Boolean/term/attr subset; everything else (phrases, multi-term
+    * rewrites) has dedicated methods / the scorer path. */
+  def forParsed(q: Query, k: Int = 10): DataFrame = {
+    def terms(qs: Seq[Query], what: String): Seq[String] = qs.map {
+      case TermQ(t) => t
+      case other => sys.error(s"unsupported $what clause on relational path: $other")
+    }
+    q match {
+      case TermQ(t) => termTopK(t, k)
+      case MatchAllQ => matchAllTopK(k)
+      case b: BoolQ =>
+        def isAttr(x: Query) = x match {
+          case _: AttrQ | _: AttrRangeQ => true
+          case _ => false
+        }
+        val (attrMust, restMust) = b.must.partition(isAttr)
+        val (attrFilt, restFilt) = b.filter.partition(isAttr)
+        val termFilt = terms(restFilt, "filter") // non-scoring term filters
+        val attrPred = (attrMust ++ attrFilt)
+          .map(RelationalPath.attrPredColumn(idx.docs.schema, _))
+          .reduceOption(_ && _)
+        var df = boolTopK(terms(restMust, "must"), terms(b.should, "should"),
+          terms(b.mustNot, "mustNot"), attrPred, b.minShouldMatch, k)
+        require(termFilt.isEmpty,
+          "term FILTER clauses not supported on the relational path (use must)")
+        df
+      case other => sys.error(s"unsupported query on relational path: $other")
+    }
+  }
 
   /** MatchAllDocsQuery analogue (`q=*:*`): every live doc, constant
     * score ⇒ rank = docId (url-rank) order

@@ -94,29 +94,10 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
       .orderBy("rank")
   }
 
-  /** Attribute predicate → boolean Column over the docs table, typed
-    * from the docs schema (timestamp values parse, numerics cast) — the
-    * docvalues-filter analogue; Catalyst pushes the comparison into the
-    * parquet scan. */
-  private def predColumn(p: Query): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.types._
-    def litFor(name: String, v: String): org.apache.spark.sql.Column =
-      idx.docs.schema(name).dataType match {
-        case TimestampType => to_timestamp(lit(v))
-        case dt: NumericType => lit(v).cast(dt)
-        case _ => lit(v)
-      }
-    p match {
-      case AttrQ(name, v) => col(name) === litFor(name, v)
-      case AttrRangeQ(name, lo, hi, il, ih) =>
-        val c = col(name)
-        val conds =
-          lo.map(v => if (il) c >= litFor(name, v) else c > litFor(name, v)).toSeq ++
-            hi.map(v => if (ih) c <= litFor(name, v) else c < litFor(name, v))
-        if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
-      case other => sys.error(s"not an attribute predicate: $other")
-    }
-  }
+  /** Attribute predicate → boolean docs Column (the docvalues-filter
+    * analogue; shared with the relational executor). */
+  private def predColumn(p: Query): org.apache.spark.sql.Column =
+    RelationalPath.attrPredColumn(idx.docs.schema, p)
 
   /** All scored hits of `q`, unranked (k caps per-segment emission when
     * > 0; pass k <= 0 for exhaustive evaluation). Multi-term queries
