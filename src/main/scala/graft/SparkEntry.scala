@@ -99,6 +99,22 @@ object SparkEntry {
       rel(s, d).forParsed(graft.search.QueryParser.parse("spark AND join"), 10)),
     "ir_q22_qstring_attr" -> ((s, d) =>
       rel(s, d).forParsed(graft.search.QueryParser.parse("+spark -merge +lang:en"), 10)),
+    "ir_q23_expand" -> ((s, d) => rel(s, d).expandByLang("spark", 3)),
+    // ---- parent/child block join over nested doc blocks (§2.5) ----
+    "sx_blockjoin_parent" -> ((s, d) => {
+      val nested = graft.search.BlockJoin.nest(
+        tpch(s, d, "orders"), tpch(s, d, "lineitem"), "o_orderkey", "l_orderkey")
+      graft.search.BlockJoin.parentsOfChildren(nested,
+          c => c.getField("l_quantity") >= 49)
+        .select("o_orderkey").orderBy("o_orderkey")
+    }),
+    "sx_blockjoin_child" -> ((s, d) => {
+      val nested = graft.search.BlockJoin.nest(
+        tpch(s, d, "orders"), tpch(s, d, "lineitem"), "o_orderkey", "l_orderkey")
+      graft.search.BlockJoin.childrenOfParents(nested, col("o_totalprice") > 400000)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // ---- training-data pipeline: dedup (§prompt) ----
     "dd_exact" -> ((s, d) => Dedup.exactGroups(docsTable(s, d)).orderBy("keep_id")),
     "dd_ngram_jaccard" -> ((s, d) =>
@@ -181,7 +197,60 @@ object SparkEntry {
       .orderBy("l_returnflag")),
     "sx_significant" -> ((s, d) =>
       graft.search.SignificantTerms.forTerm(index(s, d), "dup", minFgDf = 2, limit = 10)
-        .select("term", "fg_df", "bg_df"))
+        .select("term", "fg_df", "bg_df")),
+    // ---- query facet: counts per arbitrary predicate (§2.6) ----
+    "sx_facet_query" -> ((s, d) => tpch(s, d, "lineitem")
+      .agg(
+        sum(when(col("l_quantity") >= 45, 1).otherwise(0)).cast("long").as("n_heavy"),
+        sum(when(col("l_discount") >= 0.05, 1).otherwise(0)).cast("long").as("n_disc"))),
+    // ---- hll / percentile aggregations (§2.6) — the driver gate
+    // hash-checks the exact value plus an in-plan tolerance verdict on
+    // the approximate sketch (HLL++ / percentile_approx) ----
+    "sx_hll" -> ((s, d) => tpch(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_exact"),
+        approx_count_distinct("l_partkey").as("n_approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+          .as("ok"))
+      .orderBy("l_returnflag")),
+    "sx_percentile" -> ((s, d) => tpch(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(100000)).as("p50a"))
+      .select(col("l_returnflag"), col("p50"),
+        (abs(col("p50a") - col("p50")) / col("p50") <= 0.01).as("ok"))
+      .orderBy("l_returnflag")),
+    // ---- set-operation streams (§2.8) ----
+    "sx_union" -> ((s, d) => tpch(s, d, "events").filter(col("value") > 400)
+      .select("event_id")
+      .union(tpch(s, d, "events").filter(col("event_type") === "click")
+        .select("event_id"))
+      .orderBy("event_id")),
+    "sx_intersect" -> ((s, d) => tpch(s, d, "events").filter(col("value") > 250)
+      .select("event_id")
+      .intersect(tpch(s, d, "events").filter(col("event_type") === "click")
+        .select("event_id"))
+      .orderBy("event_id")),
+    "sx_except" -> ((s, d) => tpch(s, d, "events").filter(col("value") > 250)
+      .select("event_id")
+      .except(tpch(s, d, "events").filter(col("event_type") === "click")
+        .select("event_id"))
+      .orderBy("event_id")),
+    // ---- function-query registry (§2.10) ----
+    "fn_valuesources" -> ((s, d) => {
+      import graft.functions.{ValueSources => V}
+      docsTable(s, d).select(col("doc_id"),
+        V.fn("abs", col("n_chars") - 500).cast("long").as("f_abs"),
+        V.fn("mod", col("n_chars"), lit(7)).cast("long").as("f_mod"),
+        V.fn("min", col("n_chars"), lit(300)).cast("long").as("f_min"),
+        V.fn("max", col("n_chars"), lit(300)).cast("long").as("f_max"),
+        V.fn("if", col("lang") === "en", lit(1), lit(0)).cast("long").as("f_if"),
+        V.fn("def", col("lang"), lit("und")).as("f_def"),
+        V.fn("concat", col("lang"), lit("_"), col("source")).as("f_concat"),
+        V.fn("sum", col("n_chars"), col("doc_id")).cast("long").as("f_sum"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -478,6 +547,54 @@ object SparkEntry {
     "sx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ir_q23_expand" ->
+      s"""$bm25Cte
+         |SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id FROM (
+         |  SELECT d.lang, s1.doc_id,
+         |    row_number() OVER (PARTITION BY d.lang ORDER BY s1.score DESC, d.source ASC, s1.doc_id ASC) AS rn
+         |  FROM scored s1 JOIN documents d USING (doc_id) WHERE s1.term = 'spark')
+         |WHERE rn BETWEEN 2 AND 4 ORDER BY lang, rank""".stripMargin,
+    "sx_blockjoin_parent" ->
+      """SELECT o_orderkey FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sx_blockjoin_child" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey WHERE o_totalprice > 400000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sx_facet_query" ->
+      """SELECT sum(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END)::BIGINT AS n_heavy,
+        |sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_disc
+        |FROM lineitem""".stripMargin,
+    "sx_hll" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_exact, true AS ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sx_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, true AS ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sx_union" ->
+      """SELECT event_id FROM events WHERE value > 400
+        |UNION ALL SELECT event_id FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "sx_intersect" ->
+      """SELECT event_id FROM events WHERE value > 250
+        |INTERSECT SELECT event_id FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "sx_except" ->
+      """SELECT event_id FROM events WHERE value > 250
+        |EXCEPT SELECT event_id FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "fn_valuesources" ->
+      """SELECT doc_id,
+        |abs(n_chars - 500)::BIGINT AS f_abs,
+        |(n_chars % 7)::BIGINT AS f_mod,
+        |least(n_chars, 300)::BIGINT AS f_min,
+        |greatest(n_chars, 300)::BIGINT AS f_max,
+        |(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS f_if,
+        |coalesce(lang, 'und') AS f_def,
+        |lang || '_' || source AS f_concat,
+        |(n_chars + doc_id)::BIGINT AS f_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sx_significant" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |fgdocs AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),

@@ -224,6 +224,20 @@ final class RelationalPath(idx: graft.index.IndexView) {
       .select(col("lang"), col("doc_id"))
       .orderBy("lang")
 
+  /** Expand component: after collapsing to the best doc per group,
+    * re-attach the next `perGroup` members of each group
+    * [U solr/core/.../handler/component/ExpandComponent.java] —
+    * ranks 2..perGroup+1 of the per-group ordering (the collapsed head
+    * is rank 1, returned by collapseByLang). */
+  def expandByLang(term: String, perGroup: Int = 3): DataFrame =
+    scoredTf(Seq(term))
+      .join(idx.docs.select(col("docId"), col("lang")), "docId")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("score"), asc("docId"))))
+      .filter(col("rn") > 1 && col("rn") <= perGroup + 1)
+      .select(col("lang"), col("rn").cast("int").as("rank"), col("doc_id"))
+      .orderBy("lang", "rank")
+
   /** Field facet over the result set: matching-doc counts per lang
     * [U solr facet module / FacetField]. */
   def facetByLang(term: String): DataFrame =
