@@ -115,21 +115,51 @@ object Analysis {
               maxLen: Int = MaxTokenLength, stem: Boolean = false,
               synonyms: Map[String, String] = Map.empty): Array[String] = {
     var ts = tokenizeRaw(text, maxLen).map(lowercase)
-    if (synonyms.nonEmpty) ts = ts.map(t => synonyms.getOrElse(t, t))
+    if (synonyms.nonEmpty) ts = applySynonyms(ts, synonyms)
     if (stop.nonEmpty) ts = ts.filterNot(stop)
     if (stem) ts = ts.map(PorterStemmer.stem)
     ts
   }
 
-  /** Synonym canonicalization (merge-to-canonical mode of the
-    * reference's SynonymFilter [U lucene/analysis/common/.../synonym/]
-    * — position-preserving; graph expansion with posIncr=0 is not
-    * modeled since positions are array indices here). */
+  /** Synonym canonicalization, single- AND multi-word (the
+    * SynonymGraphFilter's merge-to-canonical mode
+    * [U lucene/analysis/common/.../synonym/SynonymGraphFilter.java]):
+    * a key containing spaces matches that token SEQUENCE and contracts
+    * it to the canonical token (greedy, longest rule first, left to
+    * right); later positions renumber — consistent on both the engine
+    * and SpecOracle paths because positions are array indices here. */
+  def applySynonyms(tokens: Array[String], syn: Map[String, String]): Array[String] = {
+    if (syn.isEmpty) return tokens
+    if (!syn.keysIterator.exists(_.contains(' ')))
+      return tokens.map(t => syn.getOrElse(t, t))
+    val rules: Array[(Array[String], String)] = syn.toArray
+      .map { case (k, v) => (k.split(' '), v) }
+      .sortBy(-_._1.length)
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < tokens.length) {
+      var matched = false
+      var r = 0
+      while (!matched && r < rules.length) {
+        val (pat, repl) = rules(r)
+        if (i + pat.length <= tokens.length) {
+          var j = 0
+          var ok = true
+          while (ok && j < pat.length) { ok = tokens(i + j) == pat(j); j += 1 }
+          if (ok) { out += repl; i += pat.length; matched = true }
+        }
+        r += 1
+      }
+      if (!matched) { out += tokens(i); i += 1 }
+    }
+    out.result()
+  }
+
   def synonymCol(tokens: Column, synonyms: Map[String, String]): Column =
     if (synonyms.isEmpty) tokens
     else {
       val m = synonyms
-      udf((ts: Seq[String]) => ts.map(t => m.getOrElse(t, t))).apply(tokens)
+      udf((ts: Seq[String]) => applySynonyms(ts.toArray, m).toSeq).apply(tokens)
     }
 
   /** Porter-stem each token. */
@@ -169,6 +199,41 @@ object Analysis {
       synonymCol(TokenizeExpr.tokenizeLower(text), synonyms), stop)
     if (stem) stemCol(base) else base
   }
+
+  // ---------- char-normalization filters (§2.2 P1) ----------
+
+  /** ASCIIFoldingFilter analogue
+    * [U lucene/analysis/common/.../miscellaneous/ASCIIFoldingFilter.java]:
+    * NFD-decompose and strip combining marks, plus the ligature /
+    * special-letter folds the decomposition path misses. */
+  def asciiFold(s: String): String = {
+    val specials = Map(
+      'æ' -> "ae", 'Æ' -> "AE", 'œ' -> "oe", 'Œ' -> "OE",
+      'ø' -> "o", 'Ø' -> "O", 'ß' -> "ss", 'đ' -> "d", 'Đ' -> "D",
+      'ł' -> "l", 'Ł' -> "L", 'þ' -> "th", 'Þ' -> "TH", 'ð' -> "d", 'Ð' -> "D")
+    val pre = s.flatMap(c => specials.getOrElse(c, c.toString))
+    val nfd = java.text.Normalizer.normalize(pre, java.text.Normalizer.Form.NFD)
+    nfd.filter(c => Character.getType(c) != Character.NON_SPACING_MARK)
+  }
+
+  private val asciiFoldUdf = udf((ts: Seq[String]) => ts.map(asciiFold))
+
+  /** Fold each token to ASCII. */
+  def asciiFoldCol(tokens: Column): Column = asciiFoldUdf(tokens)
+
+  /** MappingCharFilter analogue: literal replacements, longest mapping
+    * first [U lucene/analysis/common/.../charfilter/MappingCharFilter.java]. */
+  def mappingCharFilter(text: Column, mapping: Seq[(String, String)]): Column =
+    mapping.sortBy(-_._1.length).foldLeft(text) { case (c, (k, v)) =>
+      regexp_replace(c,
+        lit(java.util.regex.Pattern.quote(k)),
+        lit(java.util.regex.Matcher.quoteReplacement(v)))
+    }
+
+  /** PatternReplaceCharFilter analogue — a plain regexp_replace
+    * [U lucene/analysis/common/.../pattern/PatternReplaceCharFilter.java]. */
+  def patternReplace(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
 
   // ---------- html → text ----------
 

@@ -121,10 +121,14 @@ object IndexBuilder {
         val off = bcOffsets.value(pid)
         val segId = segBase + pid / partsPerSeg
         var i = -1L
+        // allocation-free count is valid only when no filter changes the
+        // token COUNT: stop words remove tokens, multi-word synonyms
+        // contract runs (single-word synonyms and stemming are 1:1)
+        val fastCount = stopSet.isEmpty && !syn.keysIterator.exists(_.contains(' '))
         it.map { case (url, lang, text, ts) =>
           i += 1
           val dl =
-            if (stopSet.isEmpty) Analysis.countTokens(text, maxLen)
+            if (fastCount) Analysis.countTokens(text, maxLen)
             else Analysis.analyze(text, stopSet, maxLen, stem, syn).length
           val norm = SmallFloat.intToByte4(dl)
           DocRow(segId, off + i, url, lang, dl, norm,

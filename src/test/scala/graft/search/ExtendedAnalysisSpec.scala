@@ -60,6 +60,49 @@ class ExtendedAnalysisSpec extends SparkSpec {
     assert(got.size >= 2)
   }
 
+  test("multi-word synonym graph: contraction + e2e engine == oracle") {
+    val syn = Map("machine learning" -> "ml", "new york" -> "nyc", "nn" -> "ml")
+    assert(Analysis.analyze("machine learning in new york", synonyms = syn).toSeq
+      === Seq("ml", "in", "nyc"))
+    // longest-first: a 2-token rule wins over its 1-token prefix rule
+    val syn2 = Map("big" -> "large", "big data" -> "bigdata")
+    assert(Analysis.analyze("big data and big ideas", synonyms = syn2).toSeq
+      === Seq("bigdata", "and", "large", "ideas"))
+
+    val texts = Seq(
+      "machine learning models win", "we use nn models daily",
+      "plain statistics here", "new york machine learning meetup")
+    val cfg = IndexConfig(numPartitions = 2, partsPerSegment = 1, synonyms = syn)
+    val idx = IndexBuilder.build(spark, mkPages(texts),
+      Files.createTempDirectory("graft-syn").toString, cfg)
+    val oracle = new SpecOracle(
+      texts.zipWithIndex.map { case (t, i) => (f"https://x/$i%04d", t, "en") },
+      synonyms = syn)
+    val got = new Searcher(idx).topK(TermQ("ml"), 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getFloat(3))).toSeq
+    assert(got === oracle.topK(TermQ("ml"), 10))
+    assert(got.size === 3) // docs 0, 1, 3
+    // phrase across the contraction: "ml models" matches doc0 and doc1
+    assert(new Searcher(idx)
+      .scoredHits(PhraseQ(Seq("ml", "models")), -1).collect().map(_._1).sorted
+      === oracle.matching(PhraseQ(Seq("ml", "models"))).toArray)
+  }
+
+  test("char-normalization filters: asciiFold, mapping, patternReplace") {
+    assert(Analysis.asciiFold("Café Münchén") === "Cafe Munchen")
+    assert(Analysis.asciiFold("œuvre straße Łódź") === "oeuvre strasse Lodz")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("café №1 &amp; friends").toDF("t")
+    val folded = df.select(
+      Analysis.asciiFoldCol(Analysis.tokenize(col("t"))).as("toks"),
+      Analysis.mappingCharFilter(col("t"), Seq("&amp;" -> "&", "№" -> "no")).as("mapped"),
+      Analysis.patternReplace(col("t"), "№\\d+", "").as("repl")).head()
+    assert(folded.getSeq[String](0).contains("cafe"))
+    assert(folded.getString(1) === "café no1 & friends")
+    assert(folded.getString(2) === "café  &amp; friends")
+  }
+
   test("sloppy phrase matches within slop, engine == oracle") {
     val texts = Seq(
       "spark join now",          // exact "spark join"
