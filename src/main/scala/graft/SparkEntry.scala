@@ -22,7 +22,7 @@ import graft.search.{Query, RelationalPath, Searcher, TermQ}
 object SparkEntry {
 
   /** Bump when the on-disk index format changes (stale caches rebuild). */
-  private val FormatVersion = "v2"
+  private val FormatVersion = "v3" // v3: PFor-packed block docs/tfs
 
   private val indexes = new ConcurrentHashMap[String, InvertedIndex]()
 

@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.functions._
 
-import graft.util.VarInt
+import graft.util.{PFor, VarInt}
 
 /** Structural index audit — the analogue of the reference's CheckIndex
   * [U lucene/core/src/java/org/apache/lucene/index/CheckIndex.java]:
@@ -40,8 +40,8 @@ object CheckIndex {
       val errs = scala.collection.mutable.ArrayBuffer.empty[String]
       var prev = -1L
       r.blocks.foreach { b =>
-        val docs = VarInt.decodeDeltas(b.docs, b.count, b.firstDocId)
-        val tfs = VarInt.decodeInts(b.tfs, b.count)
+        val docs = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
+        val tfs = PFor.decodeInts(b.tfs, b.count)
         if (docs.head != b.firstDocId) errs += s"${r.term}: firstDocId mismatch"
         if (docs.last != b.maxDocId) errs += s"${r.term}: maxDocId mismatch"
         if (tfs.max != b.maxTf) errs += s"${r.term}: maxTf mismatch"

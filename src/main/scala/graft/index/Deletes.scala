@@ -77,8 +77,8 @@ object Deletes {
 
     val occurrences = idx.postings.flatMap { r =>
       r.blocks.iterator.flatMap { b =>
-        val docs = graft.util.VarInt.decodeDeltas(b.docs, b.count, b.firstDocId)
-        val tfs = graft.util.VarInt.decodeInts(b.tfs, b.count)
+        val docs = graft.util.PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
+        val tfs = graft.util.PFor.decodeInts(b.tfs, b.count)
         val pos = graft.util.VarInt.decodePositions(b.positions, tfs)
         docs.indices.iterator.map(i =>
           (r.segId, r.term, r.salt, docs(i), tfs(i), b.norms(i), pos(i)))

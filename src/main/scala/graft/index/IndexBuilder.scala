@@ -13,7 +13,7 @@ import org.apache.spark.storage.StorageLevel
 import graft.analysis.Analysis
 import graft.model._
 import graft.search.{BM25, Bm25Stats}
-import graft.util.{SmallFloat, VarInt, ByteBuilder}
+import graft.util.{PFor, SmallFloat, VarInt, ByteBuilder}
 
 /** Index build configuration.
   *
@@ -51,7 +51,16 @@ final case class IndexConfig(
       * [U lucene/core/.../index/DocumentsWriterFlushControl.java]) —
       * an oversized/skewed partition degrades to more runs instead of
       * OOMing; spills are doc-aligned so runs stay docId-disjoint. */
-    spimiSpillBytes: Long = 256L << 20)
+    spimiSpillBytes: Long = 256L << 20,
+    /** Storage level for the url-partitioned corpus shared by the build
+      * stages. The partitioning MUST be materialized once (range-bound
+      * sampling is per-execution, so re-running the exchange could shift
+      * partition bounds between the counts pass and the docs pass):
+      * MEMORY_AND_DISK for small/medium corpora; DISK_ONLY (serialized,
+      * deserialization scales with cores) when the corpus would crowd
+      * the executor heap — the web-scale setting, and the one the
+      * scaling bench uses. */
+    inputCacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
 
 /** Batch inverted-index build (SURVEY.md §3.A):
   *
@@ -92,7 +101,7 @@ object IndexBuilder {
       .repartitionByRange(cfg.numPartitions, col("url"))
       .sortWithinPartitions("url")
       .as[(String, String, String, java.sql.Timestamp)]
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    parted.persist(cfg.inputCacheLevel)
 
     // docId = row_number over url order, computed scalably: per-partition
     // counts + prefix-sum offsets on the driver (O(partitions) driver
@@ -190,7 +199,13 @@ object IndexBuilder {
           segBase, bcHot.value, numSalts, stopSet, maxLen, stem, syn,
           spillBytes)
       }
-        .repartitionByRange(cfg.numPartitions, col("segId"), col("term"), col("salt"))
+        // HASH partition on the merge key: colocation + the in-partition
+        // sort below is all mergeRuns needs, and unlike repartitionByRange
+        // there is no range-sampling pass (which would re-execute the
+        // whole SPIMI map side once more just to pick bounds). Term
+        // pruning at query time still works through parquet ROW-GROUP
+        // min/max stats — each output file is term-sorted.
+        .repartition(cfg.numPartitions, col("segId"), col("term"), col("salt"))
         .sortWithinPartitions("segId", "term", "salt", "firstDocId")
         .mapPartitions(it => mergeRuns(it, bcStats.value, blockSize))
         .toDF()
@@ -471,8 +486,8 @@ object IndexBuilder {
         firstDocId = bDocs(0), maxDocId = bDocs(bDocs.length - 1),
         count = bDocs.length, maxTf = maxTf, minNorm = minNorm,
         maxImpact = maxImpact,
-        docs = VarInt.encodeDeltas(bDocs, bDocs(0)),
-        tfs = VarInt.encodeInts(bTfs),
+        docs = PFor.encodeDeltas(bDocs, bDocs(0)),
+        tfs = PFor.encodeInts(bTfs),
         norms = bNorms,
         positions = VarInt.encodePositions(bPos))
       start = end

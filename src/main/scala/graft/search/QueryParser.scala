@@ -144,6 +144,9 @@ object QueryParser {
   private def atomQuery(t: Tok): Option[Query] = t match {
     case WordT(Some("*"), "*", _, _) => Some(MatchAllQ)
     case WordT(None, "*:*", _, _) => Some(MatchAllQ)
+    case WordT(Some(f), "*", _, boost) if f != "text" =>
+      // field:* = FieldExistsQuery (open-open attr range)
+      Some(boosted(AttrRangeQ(f, None, None), boost))
     case WordT(field, text, fuzzy, boost) =>
       val isBody = field.isEmpty || field.contains("text")
       val q =

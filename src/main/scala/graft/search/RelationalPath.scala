@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.index.InvertedIndex
-import graft.util.VarInt
+import graft.util.{PFor, VarInt}
 
 /** The engine's relational face: the same queries the scorer path
   * answers, expressed as declarative DataFrame plans over the decoded
@@ -42,7 +42,9 @@ object RelationalPath {
         val conds =
           lo.map(v => if (il) c >= litFor(name, v) else c > litFor(name, v)).toSeq ++
             hi.map(v => if (ih) c <= litFor(name, v) else c < litFor(name, v))
-        if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
+        // open-open range = FieldExistsQuery (`field:*`)
+        // [U lucene/core/.../search/DocValuesFieldExistsQuery.java]
+        if (conds.isEmpty) c.isNotNull else conds.reduce(_ && _)
       case other => sys.error(s"not an attribute predicate: $other")
     }
   }
@@ -61,8 +63,8 @@ final class RelationalPath(idx: graft.index.IndexView) {
       else idx.postings.filter(col("term").isin(terms: _*))
     rows.flatMap { r =>
       r.blocks.iterator.flatMap { b =>
-        val docs = VarInt.decodeDeltas(b.docs, b.count, b.firstDocId)
-        val tfs = VarInt.decodeInts(b.tfs, b.count)
+        val docs = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
+        val tfs = PFor.decodeInts(b.tfs, b.count)
         docs.indices.iterator.map(i => (r.term, docs(i), tfs(i)))
       }
     }
@@ -345,8 +347,8 @@ final class RelationalPath(idx: graft.index.IndexView) {
     val rows = idx.postings.filter(col("term").isin(terms: _*))
     val hits = rows.flatMap { r =>
       r.blocks.iterator.flatMap { b =>
-        val docs = VarInt.decodeDeltas(b.docs, b.count, b.firstDocId)
-        val tfs = VarInt.decodeInts(b.tfs, b.count)
+        val docs = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
+        val tfs = PFor.decodeInts(b.tfs, b.count)
         val pos = VarInt.decodePositions(b.positions, tfs)
         docs.indices.iterator.map(i => (r.term, docs(i), pos(i)))
       }

@@ -1,7 +1,7 @@
 package graft.search
 
 import graft.model.Block
-import graft.util.VarInt
+import graft.util.{PFor, VarInt}
 
 /** Per-segment doc-at-a-time scorer tree — the analogue of the
   * reference's `Scorer`/`DocIdSetIterator` DAG
@@ -65,8 +65,8 @@ final class TermScorer(blocks: IndexedSeq[Block], val weight: Float,
   private def loadBlock(n: Int): Unit = {
     bi = n
     val b = blocks(n)
-    docsArr = VarInt.decodeDeltas(b.docs, b.count, b.firstDocId)
-    tfsArr = VarInt.decodeInts(b.tfs, b.count)
+    docsArr = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
+    tfsArr = PFor.decodeInts(b.tfs, b.count)
     normsArr = b.norms
     posArr = null
   }

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path}
 import graft.SparkSpec
 import graft.model.Page
 import graft.search._
-import graft.util.VarInt
+import graft.util.{PFor, VarInt}
 
 import org.apache.spark.sql.Dataset
 
@@ -36,8 +36,8 @@ class IndexSpec extends SparkSpec {
 
   private def decodeAll(r: graft.model.PostingsRow): Seq[(Long, Int, Seq[Int])] =
     r.blocks.flatMap { b =>
-      val docs = VarInt.decodeDeltas(b.docs, b.count, b.firstDocId)
-      val tfs = VarInt.decodeInts(b.tfs, b.count)
+      val docs = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
+      val tfs = PFor.decodeInts(b.tfs, b.count)
       val pos = VarInt.decodePositions(b.positions, tfs)
       docs.indices.map(i => (docs(i), tfs(i), pos(i).toSeq))
     }

@@ -45,6 +45,7 @@ class QueryParserSpec extends SparkSpec {
     assert(p("ts:[2025-01-01 TO *]") ===
       AttrRangeQ("ts", Some("2025-01-01"), None, true, true))
     assert(p("dl:[3 TO 9}") === AttrRangeQ("dl", Some("3"), Some("9"), true, false))
+    assert(p("lang:*") === AttrRangeQ("lang", None, None)) // FieldExistsQuery
   }
 
   test("multi-term suffixes: prefix, wildcard, fuzzy") {
