@@ -96,11 +96,32 @@ object IndexBuilder {
     // Tokenization happens AFTER this exchange, so analysis parallelism
     // equals numPartitions regardless of input file layout, and the
     // shuffle payload is the raw text (smaller than token arrays).
-    val parted: Dataset[(String, String, String, java.sql.Timestamp)] = pages
-      .select(col("url"), col("lang"), col("text"), col("warc_ts"))
-      .repartitionByRange(cfg.numPartitions, col("url"))
-      .sortWithinPartitions("url")
-      .as[(String, String, String, java.sql.Timestamp)]
+    //
+    // Range bounds are computed ONCE on the driver from a seeded,
+    // COLUMN-PRUNED url sample (O(parts·128) driver state), then applied
+    // as an explicit bucket column routed with the hash-preimage trick —
+    // unlike `repartitionByRange`, whose RangePartitioner re-executes
+    // the entire (all-columns) corpus scan as its sampling pass, this
+    // reads the corpus exactly once and the bounds are deterministic
+    // across retries (fixed seed over a stored table).
+    val parted: Dataset[(String, String, String, java.sql.Timestamp)] = {
+      val base = pages.select(col("url"), col("lang"), col("text"), col("warc_ts"))
+      val bounds = urlRangeBounds(spark, pages, cfg.numPartitions)
+      val bcBounds = spark.sparkContext.broadcast(bounds)
+      val pidOf = udf { (url: String) =>
+        val b = bcBounds.value
+        val i = java.util.Arrays.binarySearch(b.asInstanceOf[Array[AnyRef]], url)
+        if (i >= 0) i + 1 else -i - 1
+      }
+      // partition-index preimages: route pid p to hash-partition p
+      val pre = hashPreimages(spark, cfg.numPartitions)
+      base
+        .withColumn("__gbucket", element_at(typedLit(pre.toSeq), pidOf(col("url")) + 1))
+        .repartition(cfg.numPartitions, col("__gbucket"))
+        .drop("__gbucket")
+        .sortWithinPartitions("url")
+        .as[(String, String, String, java.sql.Timestamp)]
+    }
     parted.persist(cfg.inputCacheLevel)
 
     // docId = row_number over url order, computed scalably: per-partition
@@ -254,6 +275,46 @@ object IndexBuilder {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
     InvertedIndex.open(spark, dir)
+  }
+
+  /** parts-1 sorted url cut points from a seeded column-pruned sample;
+    * partition p holds urls in [bounds(p-1), bounds(p)) (binary-search
+    * insertion point). Empty/tiny corpora yield fewer cut points —
+    * trailing partitions just stay empty. */
+  private def urlRangeBounds(spark: SparkSession, pages: Dataset[Page],
+                             parts: Int): Array[String] = {
+    if (parts <= 1) return Array.empty
+    val n = pages.select("url").count() // column-pruned / metadata count
+    if (n == 0) return Array.empty
+    val target = parts * 128L
+    val fraction = math.min(1.0, target.toDouble / n)
+    import spark.implicits._
+    val sample = pages.select("url").sample(withReplacement = false, fraction, 42L)
+      .as[String].collect().sorted
+    if (sample.isEmpty) Array.empty
+    else (1 until parts).map { i =>
+      sample(((i.toLong * sample.length) / parts).toInt.min(sample.length - 1))
+    }.toArray
+  }
+
+  /** For each partition index p < parts, a Long v with
+    * pmod(murmur3(v), parts) == p — so `repartition(parts, lit(v))`
+    * routes a row to EXACTLY partition p (hash partitioning with chosen
+    * preimages ≡ explicit partitioner, no RDD API needed). Driver-local:
+    * HashPartitioning's id expression is pmod(Murmur3(expr, seed=42), n)
+    * and Spark's Murmur3 of a LongType is Murmur3_x86_32.hashLong. */
+  private def hashPreimages(spark: SparkSession, parts: Int): Array[Long] = {
+    val out = new Array[Long](parts)
+    val seen = new Array[Boolean](parts)
+    var found = 0
+    var v = 0L
+    while (found < parts) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+      val p = ((h % parts) + parts) % parts
+      if (!seen(p)) { seen(p) = true; out(p) = v; found += 1 }
+      v += 1
+    }
+    out
   }
 
   /** Idempotent stage guard: skip if a previous run completed it;
