@@ -73,6 +73,22 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
     statsMap
   }
 
+  /** Driver-side stored-fields cache for serving mode: docId → url,
+    * loaded on demand when the docs table is small enough. Saves the
+    * GET_FIELDS job per query (a web-scale deployment fronts this with
+    * a key-value store or keeps the hot slice). */
+  @volatile private var urlsMap: Option[Map[Long, String]] = None
+  def urlMap(maxDocs: Long = 1L << 20): Option[Map[Long, String]] = {
+    if (urlsMap.isEmpty && stats.docCount <= maxDocs) {
+      val rows = docs.select("docId", "url").collect()
+      urlsMap = Some(rows.map(r => r.getLong(0) -> r.getString(1)).toMap)
+    }
+    urlsMap
+  }
+
+  /** The url cache if warm() loaded it — never triggers a job. */
+  def urlMapIfLoaded: Option[Map[Long, String]] = urlsMap
+
   /** Pin the segment tables in executor memory and materialize them —
     * the analogue of a warm MMapDirectory + preloaded norms in the
     * reference's "warm searcher" serving mode. Opt-in: at full corpus
@@ -85,6 +101,7 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
       val t = spark.read.parquet(s"$dir/termstats").persist()
       p.count(); d.count(); t.count()
       cached = Some((p, d, t))
+      urlMap() // serving mode: stored-fields lookup without a job
     }
     this
   }

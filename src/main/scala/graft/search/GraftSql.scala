@@ -75,7 +75,7 @@ object SignificantTerms {
     val fgCount = fgDocs.count().toDouble
     val n = idx.stats.docCount.toDouble
     val fg = rel.tfTable().toDF("term", "docId", "tf")
-      .join(fgDocs, "docId")
+      .join(broadcast(fgDocs), "docId") // fg result set ≪ postings
       .groupBy("term").agg(countDistinct("docId").as("fg_df"))
       .filter(col("fg_df") >= minFgDf)
     fg.join(idx.termStats.select(col("term"), col("df").as("bg_df")), "term")

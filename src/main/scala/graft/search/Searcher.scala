@@ -81,6 +81,16 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
       return idx.spark.emptyDataset[(Int, Long, String, Float)]
         .toDF("rank", "docId", "url", "score")
     }
+    // warm serving mode: stored fields for the ≤k winners come from the
+    // driver-side url cache — the whole GET_FIELDS phase costs zero jobs
+    idx match {
+      case inv: graft.index.InvertedIndex if inv.urlMapIfLoaded.isDefined =>
+        val urls = inv.urlMapIfLoaded.get
+        return merged.toSeq.zipWithIndex
+          .map { case ((d, s), i) => (i + 1, d, urls.getOrElse(d, ""), s) }
+          .toDF("rank", "docId", "url", "score")
+      case _ => ()
+    }
     val ids = merged.map(_._1)
     // ranks assigned on the DRIVER over the already-merged ≤k hits (the
     // TopDocs.merge output) — no Window operator anywhere in the plan,
