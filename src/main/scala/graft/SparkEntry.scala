@@ -100,6 +100,11 @@ object SparkEntry {
     "ir_q22_qstring_attr" -> ((s, d) =>
       rel(s, d).forParsed(graft.search.QueryParser.parse("+spark -merge +lang:en"), 10)),
     "ir_q23_expand" -> ((s, d) => rel(s, d).expandByLang("spark", 3)),
+    // spellcheck / suggest over the term dictionary (§2.12)
+    "ir_q24_suggest" -> ((s, d) =>
+      graft.search.Suggest.suggest(index(s, d), "s", 10)),
+    "ir_q25_spellcheck" -> ((s, d) =>
+      graft.search.Suggest.spellcheck(index(s, d), "spark", 1, 10)),
     // ---- parent/child block join over nested doc blocks (§2.5) ----
     "sx_blockjoin_parent" -> ((s, d) => {
       val nested = graft.search.BlockJoin.nest(
@@ -547,6 +552,17 @@ object SparkEntry {
     "sx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ir_q24_suggest" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)
+        |SELECT term, df FROM dfs WHERE term LIKE 's%'
+        |ORDER BY df DESC, term ASC LIMIT 10""".stripMargin,
+    "ir_q25_spellcheck" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)
+        |SELECT term, df FROM dfs
+        |WHERE levenshtein(term, 'spark') <= 1 AND term <> 'spark'
+        |ORDER BY df DESC, term ASC LIMIT 10""".stripMargin,
     "ir_q23_expand" ->
       s"""$bm25Cte
          |SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id FROM (

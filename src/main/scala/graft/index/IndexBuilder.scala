@@ -277,24 +277,64 @@ object IndexBuilder {
     InvertedIndex.open(spark, dir)
   }
 
-  /** parts-1 sorted url cut points from a seeded column-pruned sample;
-    * partition p holds urls in [bounds(p-1), bounds(p)) (binary-search
-    * insertion point). Empty/tiny corpora yield fewer cut points —
-    * trailing partitions just stay empty. */
+  /** ≤ parts-1 sorted url cut points; partition p holds urls in
+    * [bounds(p-1), bounds(p)) (binary-search insertion point). ONE
+    * column-pruned job: a deterministic per-partition reservoir sample
+    * rides along with the exact per-partition counts, and cut points
+    * are picked by cumulative weight (each sample stands for
+    * count/sampleSize rows) — the RangePartitioner sketch, without
+    * re-executing the full-width corpus scan. Empty/tiny corpora yield
+    * fewer cut points; trailing partitions just stay empty. */
   private def urlRangeBounds(spark: SparkSession, pages: Dataset[Page],
                              parts: Int): Array[String] = {
     if (parts <= 1) return Array.empty
-    val n = pages.select("url").count() // column-pruned / metadata count
-    if (n == 0) return Array.empty
-    val target = parts * 128L
-    val fraction = math.min(1.0, target.toDouble / n)
     import spark.implicits._
-    val sample = pages.select("url").sample(withReplacement = false, fraction, 42L)
-      .as[String].collect().sorted
-    if (sample.isEmpty) Array.empty
-    else (1 until parts).map { i =>
-      sample(((i.toLong * sample.length) / parts).toInt.min(sample.length - 1))
-    }.toArray
+    val perPart = 256
+    val stats: Array[(Long, Array[String])] = pages.select("url").as[String]
+      .mapPartitions { it =>
+        // deterministic reservoir (algorithm R), seeded by partition id
+        var seed = 0x9E3779B97F4A7C15L ^
+          (TaskContext.getPartitionId() * 0xBF58476D1CE4E5B9L)
+        def nextLong(): Long = {
+          seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed
+        }
+        val res = new Array[String](perPart)
+        var n = 0L
+        it.foreach { u =>
+          if (n < perPart) res(n.toInt) = u
+          else {
+            val j = java.lang.Math.floorMod(nextLong(), n + 1)
+            if (j < perPart) res(j.toInt) = u
+          }
+          n += 1
+        }
+        Iterator.single((n, res.take(math.min(n, perPart.toLong).toInt)))
+      }.collect()
+    val total = stats.map(_._1).sum
+    if (total == 0) return Array.empty
+    val weighted = stats.flatMap { case (cnt, smp) =>
+      if (smp.isEmpty) Array.empty[(String, Double)]
+      else {
+        val w = cnt.toDouble / smp.length
+        smp.map(u => (u, w))
+      }
+    }.sortBy(_._1)
+    val step = total.toDouble / parts
+    val bounds = Array.newBuilder[String]
+    var cum = 0.0
+    var target = step
+    var i = 0
+    var k = 0
+    while (i < weighted.length && k < parts - 1) {
+      cum += weighted(i)._2
+      if (cum >= target) {
+        bounds += weighted(i)._1
+        target += step
+        k += 1
+      }
+      i += 1
+    }
+    bounds.result().distinct
   }
 
   /** For each partition index p < parts, a Long v with

@@ -1,0 +1,36 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexView
+
+/** Spellcheck / suggest over the term dictionary — the
+  * SpellCheckComponent / suggesters family re-expressed as
+  * pushdown-pruned termstats scans (Parquet min/max stats play the role
+  * of the FST/Levenshtein automata)
+  * [U lucene/suggest/, solr/core/.../handler/component/SpellCheckComponent.java,
+  * SURVEY.md §2.12]. Popularity ranking = document frequency, as in the
+  * reference's suggesters with weight=df. */
+object Suggest {
+
+  /** Autocomplete: dictionary terms with the prefix, most frequent
+    * first (df desc, term asc tie-break). */
+  def suggest(idx: IndexView, prefix: String, k: Int = 10): DataFrame =
+    idx.termStats
+      .filter(col("term").startsWith(prefix))
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(k)
+
+  /** Spell correction: dictionary terms within `maxEdits` of the word
+    * (excluding the word itself), most frequent first. */
+  def spellcheck(idx: IndexView, word: String, maxEdits: Int = 2,
+                 k: Int = 10): DataFrame =
+    idx.termStats
+      .filter(levenshtein(col("term"), lit(word)) <= maxEdits &&
+        col("term") =!= word)
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(k)
+}
