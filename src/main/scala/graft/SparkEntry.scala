@@ -226,6 +226,14 @@ object SparkEntry {
       .select(col("l_returnflag"), col("p50"),
         (abs(col("p50a") - col("p50")) / col("p50") <= 0.01).as("ok"))
       .orderBy("l_returnflag")),
+    // heatmap facet: counts per 2-D grid cell (§2.6 P2 row —
+    // [U solr/core/.../handler/component/SpatialHeatmapFacets.java];
+    // grid derived from numeric columns, the same groupBy shape)
+    "sx_heatmap" -> ((s, d) => tpch(s, d, "events")
+      .groupBy(floor(col("value") / 50).cast("long").as("gx"),
+        (col("user_id") % 10).as("gy"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("gx", "gy")),
     // ---- set-operation streams (§2.8) ----
     "sx_union" -> ((s, d) => tpch(s, d, "events").filter(col("value") > 400)
       .select("event_id")
@@ -588,6 +596,9 @@ object SparkEntry {
     "sx_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, true AS ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sx_heatmap" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS gx, user_id % 10 AS gy,
+        |count(*)::BIGINT AS n FROM events GROUP BY 1, 2 ORDER BY gx, gy""".stripMargin,
     "sx_union" ->
       """SELECT event_id FROM events WHERE value > 400
         |UNION ALL SELECT event_id FROM events WHERE event_type = 'click'

@@ -79,6 +79,56 @@ class DeletesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("randomized deletes: exclusion pre-compact, oracle identity post-compact") {
+    val rnd = new scala.util.Random(4242L)
+    val vocab = Seq("the", "spark", "join", "merge", "sort", "window",
+      "batch", "row", "data", "key", "rare1", "rare2")
+    val corpus = (0 until 120).map { i =>
+      val words = (0 until 3 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length)))
+      (f"https://rd/$i%05d", words.mkString(" "), "en")
+    }
+    val dir = Files.createTempDirectory("graft-randdel").toString
+    val idx = IndexBuilder.build(spark, mkPagesFrom(corpus), dir,
+      IndexConfig(numPartitions = 3, partsPerSegment = 1, blockSize = 32))
+    val doomed = corpus.indices.filter(_ => rnd.nextDouble() < 0.3)
+    Deletes.deleteByUrl(idx, doomed.map(i => corpus(i)._1))
+
+    val queries = Seq[Query](TermQ("spark"), Query.and("spark", "join"),
+      Query.or("window", "batch"), Query.not("the", "merge"), MatchAllQ)
+    val searcher = new Searcher(idx)
+    // pre-compact: every deleted doc excluded from every result
+    queries.foreach { q =>
+      val ids = searcher.scoredHits(q, -1).collect().map(_._1).toSet
+      doomed.foreach(d => assert(!ids.contains(d.toLong), s"doc $d leaked in $q"))
+    }
+
+    // post-compact: (url, score) sequences identical to a SpecOracle
+    // built over the SURVIVING corpus (stats, df, avgdl all recomputed)
+    val compacted = Deletes.compact(idx)
+    val survivors = corpus.zipWithIndex.collect {
+      case (row, i) if !doomed.contains(i) => row
+    }
+    val oracle = new SpecOracle(survivors)
+    val s2 = new Searcher(compacted)
+    queries.foreach { q =>
+      val got = s2.topK(q, 10).collect()
+        .map(r => (r.getString(2), r.getFloat(3))).toSeq
+      val expected = oracle.topK(q, 10).map { case (_, _, u, s) => (u, s) }
+      assert(got === expected, s"post-compact mismatch on $q")
+    }
+    // compaction keeps stable docIds (no renumbering, like a Lucene
+    // merge keeping the segment map) — the density note is expected
+    assert(CheckIndex.audit(compacted).forall(_.contains("docId space")))
+  }
+
+  private def mkPagesFrom(corpus: Seq[(String, String, String)]): Dataset[Page] = {
+    import spark.implicits._
+    corpus.map { case (url, text, lang) =>
+      Page(url, java.sql.Timestamp.valueOf("2025-10-24 00:00:00"),
+        s"<p>$text</p>".getBytes, text, lang)
+    }.toDS()
+  }
+
   test("TTL expiration tombstones docs older than the cutoff") {
     val dir = Files.createTempDirectory("graft-ttl").toString
     import spark.implicits._

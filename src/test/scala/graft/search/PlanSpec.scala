@@ -68,6 +68,26 @@ class PlanSpec extends SparkSpec {
       s"Window below TakeOrdered: win=$iWin top=$iTop\n${p.take(3000)}")
   }
 
+  test("generic boolTopK: TakeOrderedAndProject + broadcast stats + anti join") {
+    val rel = new RelationalPath(idx)
+    val df = rel.boolTopK(Seq("spark"), Seq("join"), Seq("merge"), None, 0, 10)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000)) // mustNot
+  }
+
+  test("attr-range predicate pushes into the docs parquet scan") {
+    val pred = RelationalPath.attrPredColumn(idx.docs.schema,
+      AttrRangeQ("ts", Some("2025-10-24 00:02:00"),
+        Some("2025-10-24 00:06:00"), includeLo = true, includeHi = true))
+    val p = plan(idx.docs.filter(pred).toDF())
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(ts") || p.contains("GreaterThan(ts"),
+      p.take(2000))
+  }
+
   test("postings scan prunes columns (term stats never read blocks)") {
     val p = plan(idx.termStats.filter(col("term") === "spark"))
     assert(!p.contains("blocks"),
