@@ -100,6 +100,11 @@ object SparkEntry {
     "ir_q22_qstring_attr" -> ((s, d) =>
       rel(s, d).forParsed(graft.search.QueryParser.parse("+spark -merge +lang:en"), 10)),
     "ir_q23_expand" -> ((s, d) => rel(s, d).expandByLang("spark", 3)),
+    // span/interval proximity (§2.4 P2 row): ordered + unordered near
+    "ir_q26_spannear" -> ((s, d) =>
+      rel(s, d).spanNearDocs(Seq("spark", "merge"), slop = 3, inOrder = true)),
+    "ir_q27_spannear_unord" -> ((s, d) =>
+      rel(s, d).spanNearDocs(Seq("sort", "window"), slop = 2, inOrder = false)),
     // spellcheck / suggest over the term dictionary (§2.12)
     "ir_q24_suggest" -> ((s, d) =>
       graft.search.Suggest.suggest(index(s, d), "s", 10)),
@@ -560,6 +565,22 @@ object SparkEntry {
     "sx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 2-term span-near existence: span = |pa−pb|+1 ≤ 2+slop, inOrder ⇒
+    // pa < pb (equivalent to the engine's greedy/minimal-window match)
+    "ir_q26_spannear" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, u.s.p AS p, u.s.tm AS tm FROM (
+        |  SELECT doc_id, [{'p': i, 'tm': t[i]} FOR i IN generate_series(1, len(t))] AS ps FROM toks), unnest(ps) AS u(s))
+        |SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        |WHERE a.tm = 'spark' AND b.tm = 'merge' AND b.p > a.p AND b.p - a.p <= 4
+        |ORDER BY a.doc_id""".stripMargin,
+    "ir_q27_spannear_unord" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, u.s.p AS p, u.s.tm AS tm FROM (
+        |  SELECT doc_id, [{'p': i, 'tm': t[i]} FOR i IN generate_series(1, len(t))] AS ps FROM toks), unnest(ps) AS u(s))
+        |SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        |WHERE a.tm = 'sort' AND b.tm = 'window' AND abs(b.p - a.p) <= 3
+        |ORDER BY a.doc_id""".stripMargin,
     "ir_q24_suggest" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)

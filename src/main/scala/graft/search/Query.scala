@@ -15,6 +15,15 @@ final case class TermQ(term: String) extends Query
   * [U …/search/PhraseQuery.java, ExactPhraseMatcher.java]. */
 final case class PhraseQ(terms: Seq[String], slop: Int = 0) extends Query
 
+/** Span-near proximity: all terms within a window of `slop` extra
+  * positions; `inOrder` additionally requires clause order
+  * [U lucene/core/.../search/spans/SpanNearQuery.java,
+  * lucene/queries/.../intervals/]. Scored like a phrase: weight = Σ
+  * constituent idfs, freq = Spans.spanFreq (engine-pinned semantics
+  * shared with the SpecOracle). */
+final case class SpanNearQ(terms: Seq[String], slop: Int,
+                           inOrder: Boolean = true) extends Query
+
 /** Doc-attribute equality (e.g. lang = "en") — non-scoring, usable in
   * FILTER/MUST_NOT context; evaluated against the docs table (the
   * docvalues analogue). Any docs-table column (lang, url, ts, dl …). */
@@ -93,6 +102,7 @@ object Query {
   def collectTerms(q: Query): Seq[String] = q match {
     case TermQ(t) => Seq(t)
     case PhraseQ(ts, _) => ts
+    case SpanNearQ(ts, _, _) => ts
     case TermSetQ(ts, _) => ts
     case AttrQ(_, _) | AttrRangeQ(_, _, _, _, _) | MatchAllQ | MatchNoneQ
          | PredQ(_) => Nil

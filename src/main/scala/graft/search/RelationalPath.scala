@@ -341,6 +341,34 @@ final class RelationalPath(idx: graft.index.IndexView) {
     rankTopK(p.join(f, Seq("docId"), "left_semi"), k)
   }
 
+  /** Span-near matching docs (ascending doc_id): decode positions for
+    * the query terms, group per doc, verify with the SHARED
+    * Spans.spanFreq semantics (two-phase, like phraseDocs)
+    * [U lucene/core/.../search/spans/SpanNearQuery.java]. */
+  def spanNearDocs(terms: Seq[String], slop: Int, inOrder: Boolean): DataFrame = {
+    val distinctTerms = terms.distinct
+    val rows = idx.postings.filter(col("term").isin(distinctTerms: _*))
+    val hits = rows.flatMap { r =>
+      r.blocks.iterator.flatMap { b =>
+        val docs = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
+        val tfs = PFor.decodeInts(b.tfs, b.count)
+        val pos = VarInt.decodePositions(b.positions, tfs)
+        docs.indices.iterator.map(i => (r.term, docs(i), pos(i)))
+      }
+    }.toDF("term", "docId", "pos")
+    val qTerms = terms
+    val verify = udf { (tp: Seq[org.apache.spark.sql.Row]) =>
+      val byTerm = tp.map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+      qTerms.forall(byTerm.contains) &&
+        Spans.spanFreq(qTerms.map(byTerm).toIndexedSeq, slop, inOrder) > 0
+    }
+    hits.groupBy("docId")
+      .agg(collect_list(struct(col("term"), col("pos"))).as("tp"))
+      .filter(verify(col("tp")))
+      .join(docsWithId.select("docId", "doc_id"), "docId")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Exact-phrase matching docs (ascending doc_id), two-phase:
     * conjunction candidates, then position verification. */
   def phraseDocs(terms: Seq[String]): DataFrame = {

@@ -236,6 +236,48 @@ final class PhraseScorer(terms: IndexedSeq[TermScorer], val weight: Float,
     BM25.score(weight, phraseFreq.toFloat, cache(terms(0).normByte & 0xFF))
 }
 
+/** Span-near proximity scorer: leapfrog conjunction of the term
+  * iterators, then window verification on survivors via the shared
+  * Spans.spanFreq semantics (two-phase, like phrases)
+  * [U lucene/core/.../search/spans/SpanNearQuery.java]. */
+final class SpanNearScorer(terms: IndexedSeq[TermScorer], val weight: Float,
+                           cache: Array[Float], slop: Int, inOrder: Boolean)
+    extends DocScorer {
+  var doc: Long = -1L
+  private[this] var freq = 0
+  val cost: Long = if (terms.isEmpty) 0L else terms.map(_.cost).min
+  val maxScore: Float = weight // loose but safe: kernel < weight always
+
+  private def alignAndVerify(start: Long): Long = {
+    var target = start
+    while (true) {
+      var max = target
+      terms.foreach { t =>
+        val d = if (t.doc >= target) t.doc else t.advance(target)
+        if (d > max) max = d
+      }
+      if (max == Scorers.DONE) { doc = Scorers.DONE; return doc }
+      if (terms.forall(_.doc == max)) {
+        freq = Spans.spanFreq(terms.map(_.positions()), slop, inOrder)
+        if (freq > 0) { doc = max; return doc }
+        target = max + 1
+      } else target = max
+    }
+    Scorers.DONE
+  }
+
+  def nextDoc(): Long =
+    if (doc == Scorers.DONE || terms.isEmpty) { doc = Scorers.DONE; doc }
+    else alignAndVerify(doc + 1)
+
+  def advance(target: Long): Long =
+    if (doc == Scorers.DONE || terms.isEmpty) { doc = Scorers.DONE; doc }
+    else alignAndVerify(target)
+
+  def score(): Float =
+    BM25.score(weight, freq.toFloat, cache(terms(0).normByte & 0xFF))
+}
+
 /** General Boolean scorer, doc-at-a-time [U …/search/BooleanWeight,
   * ConjunctionDISI (leapfrog, rarest-first), ReqExclScorer,
   * MinShouldMatchSumScorer]. Clause scores are summed in ORIGINAL clause

@@ -261,6 +261,12 @@ object SegmentScorer {
       ts.foreach(t => w += ctx.weightOf(t))
       if (ts.exists(t => !blocks.contains(t))) new EmptyScorer
       else new PhraseScorer(ts.map(t => termScorer(t, ctx, blocks)).toIndexedSeq, w, ctx.cache, slop)
+    case SpanNearQ(ts, slop, inOrder) =>
+      var w = 0f
+      ts.foreach(t => w += ctx.weightOf(t))
+      if (ts.exists(t => !blocks.contains(t))) new EmptyScorer
+      else new SpanNearScorer(ts.map(t => termScorer(t, ctx, blocks)).toIndexedSeq,
+        w, ctx.cache, slop, inOrder)
     case PredQ(i) =>
       if (i < predBits.length) {
         val (bits, minDoc) = predBits(i)

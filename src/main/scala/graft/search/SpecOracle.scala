@@ -92,6 +92,18 @@ final class SpecOracle(corpus: Seq[(String, String, String)],
           Some(BM25.score(w, freq.toFloat, cache(normOf(docId) & 0xFF)))
         }
       }
+    case SpanNearQ(ts, slop, inOrder) =>
+      val hits = ts.map(t => postings.get(t).flatMap(_.get(docId)))
+      if (hits.exists(_.isEmpty)) None
+      else {
+        val freq = Spans.spanFreq(hits.map(_.get._2).toIndexedSeq, slop, inOrder)
+        if (freq == 0) None
+        else {
+          var w = 0f
+          ts.foreach(t => w += weightOf(t))
+          Some(BM25.score(w, freq.toFloat, cache(normOf(docId) & 0xFF)))
+        }
+      }
     case MatchAllQ => Some(1f)
     case MatchNoneQ => None
     case AttrQ("lang", v) => if (langOf(docId) == v) Some(0f) else None

@@ -39,7 +39,7 @@ class RandomizedSearchSpec extends SparkSpec {
     if (rnd.nextInt(10) == 0) "absent_term" else vocab(rnd.nextInt(vocab.length))
 
   private def randQuery(rnd: Random, depth: Int = 0): Query =
-    rnd.nextInt(if (depth == 0) 16 else 8) match {
+    rnd.nextInt(if (depth == 0) 17 else 8) match {
       case 0 => TermQ(randTerm(rnd))
       case 1 => Query.and((0 until 2 + rnd.nextInt(2)).map(_ => randTerm(rnd)): _*)
       case 2 => Query.or((0 until 2 + rnd.nextInt(3)).map(_ => randTerm(rnd)): _*)
@@ -79,6 +79,9 @@ class RandomizedSearchSpec extends SparkSpec {
         should = Seq(AttrQ("lang", langs(rnd.nextInt(langs.length))),
           TermQ(randTerm(rnd))),
         minShouldMatch = 1 + rnd.nextInt(2))
+      case 16 => SpanNearQ(
+        (0 until 2 + rnd.nextInt(2)).map(_ => randTerm(rnd)),
+        rnd.nextInt(6), inOrder = rnd.nextBoolean())
     }
 
   private def toPages(corpus: Seq[(String, String, String)]): Dataset[Page] = {

@@ -51,7 +51,10 @@ class SearchSpec extends SparkSpec {
       should = Seq(TermQ("zzz_absent"), TermQ("spark"))),
     "q22 url-range filter" -> BoolQ(must = Seq(TermQ("the")),
       filter = Seq(AttrRangeQ("url",
-        Some("https://example.com/a"), Some("https://example.com/d")))))
+        Some("https://example.com/a"), Some("https://example.com/d")))),
+    "q23 span-near ordered" -> SpanNearQ(Seq("spark", "merge"), 3, inOrder = true),
+    "q24 span-near unordered" -> SpanNearQ(Seq("sort", "window"), 2, inOrder = false),
+    "q25 span-near 3-term" -> SpanNearQ(Seq("the", "spark", "join"), 4, inOrder = false))
 
   test("rank + exact float32 score identity vs SpecOracle, k=10") {
     querySet.foreach { case (name, q) =>
