@@ -76,6 +76,29 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
     rankedResult(merged)
   }
 
+  /** Two-pass reranking [U solr/core/.../search/ReRankQParserPlugin.java]:
+    * retrieve the top `reRankDocs` by `base`, rescore those docs with
+    * `rerankQ`, combine additively (ReRank semantics: newScore =
+    * baseScore + weight · rerankScore for docs matching the rerank
+    * query), return top-k by (score desc, docId asc). The rerank pass
+    * evaluates only candidate docs' postings rows. */
+  def rerank(base: Query, rerankQ: Query, reRankDocs: Int,
+             weight: Float, k: Int): DataFrame = {
+    val topN = scoredHits(base, reRankDocs).collect()
+      .sortBy { case (d, s) => (-s, d) }
+      .take(reRankDocs)
+    if (topN.isEmpty) return rankedResult(Array.empty)
+    val ids = topN.map(_._1).toSet
+    val rescores: Map[Long, Float] =
+      scoredHits(rerankQ, -1).collect().iterator
+        .filter { case (d, _) => ids(d) }.toMap
+    val combined = topN
+      .map { case (d, s) => (d, s + weight * rescores.getOrElse(d, 0f)) }
+      .sortBy { case (d, s) => (-s, d) }
+      .take(k)
+    rankedResult(combined)
+  }
+
   private def rankedResult(merged: Array[(Long, Float)]): DataFrame = {
     if (merged.isEmpty) {
       return idx.spark.emptyDataset[(Int, Long, String, Float)]

@@ -166,6 +166,22 @@ final class SpecOracle(corpus: Seq[(String, String, String)],
       .map { case ((d, u, s), i) => (i + 1, d, u, s) }
   }
 
+  /** Two-pass reranking mirror of Searcher.rerank (ReRank semantics:
+    * newScore = base + weight·rerank over the base top-N). */
+  def rerankTopK(base: Query, rerankQ: Query, reRankDocs: Int,
+                 weight: Float, k: Int): Seq[(Int, Long, String, Float)] = {
+    val b = rewrite(base)
+    val r = rewrite(rerankQ)
+    val topN = docs.flatMap { case (docId, _, _, _) =>
+      scoreDoc(b, docId).map(s => (docId, s))
+    }.sortBy { case (d, s) => (-s, d) }.take(reRankDocs)
+    topN.map { case (d, s) =>
+      val rs = scoreDoc(r, d).getOrElse(0f)
+      (d, s + weight * rs)
+    }.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+      .map { case ((d, s), i) => (i + 1, d, urlOf(d), s) }
+  }
+
   /** All matching docIds, ascending. */
   def matching(q0: Query): Seq[Long] = {
     val q = rewrite(q0)

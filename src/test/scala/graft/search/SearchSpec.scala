@@ -92,6 +92,19 @@ class SearchSpec extends SparkSpec {
       relDocIds(rel.filterTopK("spark", "en", 10)))
   }
 
+  test("reranking: base top-N rescored, engine == oracle float-exactly") {
+    val cases = Seq(
+      (TermQ("the"), Query.and("spark", "join"), 20, 2.0f),
+      (Query.or("window", "batch"), PhraseQ(Seq("batch", "batch")), 15, 3.0f),
+      (MatchAllQ: Query, TermQ("spark"), 25, 1.5f))
+    cases.foreach { case (base, rq, n, w) =>
+      val got = searcher.rerank(base, rq, n, w, 10).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getFloat(3))).toSeq
+      val expected = oracle.rerankTopK(base, rq, n, w, 10)
+      assert(got === expected, s"rerank($base, $rq, $n, $w)")
+    }
+  }
+
   test("per-term df/ttf equality vs SpecOracle for EVERY term") {
     import idx.spark.implicits._
     val stats = idx.termStats.as[(String, Long, Long)].collect()
