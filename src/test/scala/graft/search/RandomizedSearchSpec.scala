@@ -93,7 +93,7 @@ class RandomizedSearchSpec extends SparkSpec {
   }
 
   test("engine ≡ SpecOracle on random corpora × random query trees") {
-    Seq(42L, 1337L).foreach { seed =>
+    Seq(42L, 1337L, 90210L).foreach { seed =>
       val rnd = new Random(seed)
       val corpus = mkCorpus(rnd, 150 + rnd.nextInt(150))
       val cfg = IndexConfig(
