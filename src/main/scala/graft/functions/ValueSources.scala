@@ -39,7 +39,7 @@ object ValueSources {
     "cbrt" -> uni(cbrt),
     "ceil" -> uni(ceil),
     "floor" -> uni(floor),
-    "rint" -> uni(x => round(x)),
+    "rint" -> uni(x => bround(x)), // half-even, like Math.rint
     "exp" -> uni(exp),
     "sin" -> uni(sin), "cos" -> uni(cos), "tan" -> uni(tan),
     "pow" -> bin(pow),

@@ -114,7 +114,10 @@ object Deletes {
     // write compacted tables to new dirs, then swap via manifest rewrite
     newPostings.toDF().write.mode("overwrite").parquet(s"$dir/postings2")
     newDocs.write.mode("overwrite").parquet(s"$dir/docs2")
-    newPostings.toDF().groupBy("term")
+    // term stats from the JUST-WRITTEN compacted postings (columnar
+    // term/df/ttf scan) — recomputing from newPostings would re-run the
+    // whole explode→anti-join→re-block pipeline a second time
+    spark.read.parquet(s"$dir/postings2").groupBy("term")
       .agg(sum("df").as("df"), sum("ttf").as("ttf"))
       .write.mode("overwrite").parquet(s"$dir/termstats2")
 

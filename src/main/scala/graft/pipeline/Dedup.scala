@@ -166,11 +166,14 @@ object Dedup {
       s"maxDist=$maxDist: band guarantee supported for 0..7 (8+ bands of <8 bits degenerate)")
     val bands = maxDist + 1
     val width = (64 + bands - 1) / bands
+    // width == 64 (maxDist = 0): the band IS the whole hash — (1L<<64)-1
+    // would overflow to 0 and bucket the universe together
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val sh = simhash(documents)
     val banded = sh.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bandKey",
         concat_ws(":", col("band"),
-          expr(s"shiftrightunsigned(simhash, band * $width) & ${(1L << width) - 1}L")))
+          expr(s"shiftrightunsigned(simhash, band * $width) & ${mask}L")))
     val pairs = banded.as("l").join(banded.as("r"),
         col("l.bandKey") === col("r.bandKey") &&
           col("l.doc_id") < col("r.doc_id"))

@@ -49,6 +49,11 @@ case object MatchNoneQ extends Query
   * before broadcast; executors look the bitset up by index). */
 private[search] final case class PredQ(idx: Int) extends Query
 
+/** Non-scoring membership in an explicit (small, sorted) docId set —
+  * the candidate filter of two-pass reranking; ships inside the
+  * broadcast query so the restriction evaluates executor-side. */
+private[search] final case class DocIdSetQ(ids: Array[Long]) extends Query
+
 /** Constant-score set membership: doc contains ANY of the terms; score
   * is constant (the SQL `IN` — [U …/search/TermInSetQuery.java], and the
   * target of MultiTermQuery CONSTANT_SCORE rewrites). */
@@ -67,10 +72,18 @@ final case class WildcardQ(pattern: String) extends Query
 final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
 
 /** Lexicographic term range [U …/search/TermRangeQuery.java];
-  * rewritten to TermSetQ. */
-final case class TermRangeQ(lo: String, hi: String,
+  * None = open end (the parser's `*`); rewritten to TermSetQ. */
+final case class TermRangeQ(lo: Option[String], hi: Option[String],
                             includeLo: Boolean = true,
                             includeHi: Boolean = true) extends Query
+
+object TermRangeQ {
+  /** Closed-range convenience constructor. */
+  def apply(lo: String, hi: String): TermRangeQ =
+    TermRangeQ(Some(lo), Some(hi), includeLo = true, includeHi = true)
+  def apply(lo: String, hi: String, il: Boolean, ih: Boolean): TermRangeQ =
+    TermRangeQ(Some(lo), Some(hi), il, ih)
+}
 
 /** Score multiplier [U …/search/BoostQuery.java]. Engine semantics:
   * score = boost · inner score (one float multiply on the final inner
@@ -105,7 +118,7 @@ object Query {
     case SpanNearQ(ts, _, _) => ts
     case TermSetQ(ts, _) => ts
     case AttrQ(_, _) | AttrRangeQ(_, _, _, _, _) | MatchAllQ | MatchNoneQ
-         | PredQ(_) => Nil
+         | PredQ(_) | DocIdSetQ(_) => Nil
     case BoostQ(inner, _) => collectTerms(inner)
     case ConstScoreQ(inner, _) => collectTerms(inner)
     case DisMaxQ(qs, _) => qs.flatMap(collectTerms).distinct

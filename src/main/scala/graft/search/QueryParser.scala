@@ -147,6 +147,10 @@ object QueryParser {
     case WordT(Some(f), "*", _, boost) if f != "text" =>
       // field:* = FieldExistsQuery (open-open attr range)
       Some(boosted(AttrRangeQ(f, None, None), boost))
+    case WordT(Some("text") | None, "*", _, _) =>
+      // every doc has a body: text-exists ≡ match-all (and never a
+      // dictionary-wide PrefixQ("") expansion)
+      Some(MatchAllQ)
     case WordT(field, text, fuzzy, boost) =>
       val isBody = field.isEmpty || field.contains("text")
       val q =
@@ -172,7 +176,9 @@ object QueryParser {
     case RangeT(field, lo, hi, il, ih) =>
       val isBody = field.isEmpty || field.contains("text")
       if (isBody)
-        Some(TermRangeQ(Analysis.lowercase(lo), Analysis.lowercase(hi), il, ih))
+        Some(TermRangeQ(
+          Some(lo).filter(_ != "*").map(Analysis.lowercase),
+          Some(hi).filter(_ != "*").map(Analysis.lowercase), il, ih))
       else Some(AttrRangeQ(field.get,
         Some(lo).filter(_ != "*"), Some(hi).filter(_ != "*"), il, ih))
     case _ => None

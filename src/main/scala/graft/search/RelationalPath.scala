@@ -175,7 +175,8 @@ final class RelationalPath(idx: graft.index.IndexView) {
   def prefixTopK(p: String, k: Int): DataFrame =
     constDocsTopK(new IndexTermDict(idx).prefix(p), k)
   def rangeTopK(lo: String, hi: String, k: Int): DataFrame =
-    constDocsTopK(new IndexTermDict(idx).range(lo, hi, il = true, ih = true), k)
+    constDocsTopK(new IndexTermDict(idx)
+      .range(Some(lo), Some(hi), il = true, ih = true), k)
   def fuzzyTopK(t: String, maxEdits: Int, k: Int): DataFrame =
     constDocsTopK(new IndexTermDict(idx).fuzzy(t, maxEdits), k)
 
@@ -259,10 +260,28 @@ final class RelationalPath(idx: graft.index.IndexView) {
     val mustD = must.distinct
     val shouldD = should.distinct.filterNot(mustD.contains)
     val scoredTerms = mustD ++ shouldD
-    if (scoredTerms.isEmpty)
-      return idx.spark.emptyDataFrame
-        .withColumn("rank", lit(0)).withColumn("doc_id", lit(0L))
-        .select("rank", "doc_id").limit(0)
+    if (scoredTerms.isEmpty) {
+      // attr-only boolean (no scored term clauses): constant score ⇒
+      // rank = docId (url-rank) order, mustNot terms anti-joined — the
+      // scorer path answers the same shape via PredQ bitsets
+      attrFilter match {
+        case None =>
+          return idx.spark.emptyDataFrame
+            .withColumn("rank", lit(0)).withColumn("doc_id", lit(0L))
+            .select("rank", "doc_id").limit(0)
+        case Some(pred) =>
+          var out = docsWithId.filter(pred).select(col("docId"), col("doc_id"))
+          if (mustNot.nonEmpty)
+            out = out.join(
+              tfTable(mustNot.distinct).toDF("term", "docId", "tf")
+                .select("docId").distinct(),
+              Seq("docId"), "left_anti")
+          return out.orderBy(asc("docId")).limit(k)
+            .withColumn("rank", row_number().over(Window.orderBy(asc("docId"))))
+            .select(col("rank").cast("int").as("rank"), col("doc_id"))
+            .orderBy("rank")
+      }
+    }
     val effMm = if (mustD.isEmpty) math.max(mm, 1) else mm
     var perDoc = scoredTf(scoredTerms)
       .withColumn("isMust", col("term").isin(mustD: _*))

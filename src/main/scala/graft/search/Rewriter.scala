@@ -9,7 +9,9 @@ trait TermDict {
   def prefix(p: String): Seq[String]
   def regex(anchoredRe: String): Seq[String]
   def fuzzy(term: String, maxEdits: Int): Seq[String]
-  def range(lo: String, hi: String, il: Boolean, ih: Boolean): Seq[String]
+  /** None = open end. */
+  def range(lo: Option[String], hi: Option[String],
+            il: Boolean, ih: Boolean): Seq[String]
 }
 
 /** Term dictionary over the termstats table — every lookup is a
@@ -37,10 +39,13 @@ final class IndexTermDict(idx: graft.index.IndexView, maxExpansions: Int = 10000
     run(idx.termStats.filter(col("term").rlike(re)))
   def fuzzy(term: String, maxEdits: Int): Seq[String] =
     run(idx.termStats.filter(levenshtein(col("term"), lit(term)) <= maxEdits))
-  def range(lo: String, hi: String, il: Boolean, ih: Boolean): Seq[String] =
-    run(idx.termStats.filter(
-      (if (il) col("term") >= lo else col("term") > lo) &&
-        (if (ih) col("term") <= hi else col("term") < hi)))
+  def range(lo: Option[String], hi: Option[String],
+            il: Boolean, ih: Boolean): Seq[String] = {
+    val conds =
+      lo.map(v => if (il) col("term") >= v else col("term") > v).toSeq ++
+        hi.map(v => if (ih) col("term") <= v else col("term") < v)
+    run(conds.foldLeft(idx.termStats)((df, c) => df.filter(c)))
+  }
 }
 
 /** Query rewrite to fixpoint-free normal form (the analogue of
@@ -106,8 +111,10 @@ final class SeqTermDict(allTerms: Seq[String]) extends TermDict {
   def regex(re: String): Seq[String] = { val r = re.r; sorted.filter(t => r.matches(t)) }
   def fuzzy(term: String, maxEdits: Int): Seq[String] =
     sorted.filter(t => Rewriter.levenshteinDist(t, term) <= maxEdits)
-  def range(lo: String, hi: String, il: Boolean, ih: Boolean): Seq[String] =
+  def range(lo: Option[String], hi: Option[String],
+            il: Boolean, ih: Boolean): Seq[String] =
     sorted.filter { t =>
-      (if (il) t >= lo else t > lo) && (if (ih) t <= hi else t < hi)
+      lo.forall(v => if (il) t >= v else t > v) &&
+        hi.forall(v => if (ih) t <= v else t < v)
     }
 }

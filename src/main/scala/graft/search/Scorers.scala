@@ -158,6 +158,28 @@ final class BitsetScorer(bits: java.util.BitSet, minDocId: Long) extends DocScor
   def cost: Long = bits.cardinality().toLong
 }
 
+/** Non-scoring iterator over an explicit sorted docId array (the
+  * reranking candidate filter — DocIdSetQ). */
+final class IdSetScorer(ids: Array[Long]) extends DocScorer {
+  private[this] var i = -1
+  var doc: Long = -1L
+  def nextDoc(): Long = {
+    i += 1
+    doc = if (i >= ids.length) Scorers.DONE else ids(i)
+    doc
+  }
+  def advance(target: Long): Long = {
+    var idx = java.util.Arrays.binarySearch(ids, math.max(i, 0), ids.length, target)
+    if (idx < 0) idx = -idx - 1
+    i = idx
+    doc = if (i >= ids.length) Scorers.DONE else ids(i)
+    doc
+  }
+  def score(): Float = 0f
+  val maxScore: Float = 0f
+  def cost: Long = ids.length.toLong
+}
+
 /** Exact-phrase scorer: leapfrog conjunction of the term iterators plus
   * position-adjacency verification on survivors (two-phase); freq =
   * number of phrase occurrences, scored through the BM25 kernel with

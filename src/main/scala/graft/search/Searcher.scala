@@ -88,10 +88,13 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
       .sortBy { case (d, s) => (-s, d) }
       .take(reRankDocs)
     if (topN.isEmpty) return rankedResult(Array.empty)
-    val ids = topN.map(_._1).toSet
+    val ids = topN.map(_._1).sorted
+    // candidate restriction ships INSIDE the broadcast query (DocIdSetQ
+    // filter clause), so the rerank pass leapfrogs over ≤ reRankDocs
+    // docs executor-side — never an exhaustive evaluation + collect
     val rescores: Map[Long, Float] =
-      scoredHits(rerankQ, -1).collect().iterator
-        .filter { case (d, _) => ids(d) }.toMap
+      scoredHits(BoolQ(must = Seq(rerankQ), filter = Seq(DocIdSetQ(ids))), -1)
+        .collect().toMap
     val combined = topN
       .map { case (d, s) => (d, s + weight * rescores.getOrElse(d, 0f)) }
       .sortBy { case (d, s) => (-s, d) }
@@ -155,7 +158,9 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
     // deletes are subtracted INSIDE the per-segment scorer (a deleted
     // doc must not occupy a top-k slot), via the docs cogroup path
     if (Query.needsDocs(q) || idx.hasDeletes) {
-      val predCols = preds.map(predColumn)
+      // null attribute values must read as non-matching, not poison the
+      // boolean array encoder on rows that travel for other reasons
+      val predCols = preds.map(p => coalesce(predColumn(p), lit(false)))
       val withDel =
         if (idx.hasDeletes)
           idx.docs.join(idx.tombstones.toDF("docId").withColumn("del", lit(true)),
@@ -302,6 +307,7 @@ object SegmentScorer {
         case None => new EmptyScorer
       }
     case MatchNoneQ => new EmptyScorer
+    case DocIdSetQ(ids) => new IdSetScorer(ids)
     case AttrQ(name, _) =>
       sys.error(s"attribute predicate not indexed before compile: $name")
     case AttrRangeQ(name, _, _, _, _) =>

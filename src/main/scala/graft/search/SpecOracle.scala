@@ -121,6 +121,8 @@ final class SpecOracle(corpus: Seq[(String, String, String)],
       val okHi = hi.forall(h => if (ih) v <= h else v < h)
       if (okLo && okHi) Some(0f) else None
     case PredQ(i) => sys.error(s"internal PredQ($i) reached the SpecOracle")
+    case DocIdSetQ(ids) =>
+      if (java.util.Arrays.binarySearch(ids, docId) >= 0) Some(0f) else None
     case TermSetQ(ts, s) =>
       if (ts.exists(t => postings.get(t).exists(_.contains(docId)))) Some(s) else None
     case BoostQ(inner, b) => scoreDoc(inner, docId).map(b * _)

@@ -59,7 +59,12 @@ object StreamingIndexer {
     // with non-ascending blocks, breaking the scorers' binary search)
     val segsAlloc =
       (cfg.numPartitions + cfg.partsPerSegment - 1) / cfg.partsPerSegment
-    val segIdBase0 = gens.map(_._3).sum
+    // legacy generations (manifest rows without "segs") were allocated
+    // at genId*1e6 — start above their ceiling so new ids never collide
+    val legacyCeiling = gens.collect {
+      case (g, _, segs) if segs == 0L => (g + 1) * 1000000L
+    }.maxOption.getOrElse(0L)
+    val segIdBase0 = math.max(gens.map(_._3).sum, legacyCeiling)
     require(segIdBase0 + segsAlloc <= Int.MaxValue.toLong,
       s"segment id space exhausted: base=$segIdBase0 + $segsAlloc")
     val segIdBase = segIdBase0.toInt

@@ -46,6 +46,9 @@ class QueryParserSpec extends SparkSpec {
       AttrRangeQ("ts", Some("2025-01-01"), None, true, true))
     assert(p("dl:[3 TO 9}") === AttrRangeQ("dl", Some("3"), Some("9"), true, false))
     assert(p("lang:*") === AttrRangeQ("lang", None, None)) // FieldExistsQuery
+    assert(p("text:*") === MatchAllQ) // every doc has a body
+    assert(p("[batch TO *]") === TermRangeQ(Some("batch"), None, true, true))
+    assert(p("[* TO data}") === TermRangeQ(None, Some("data"), true, false))
   }
 
   test("multi-term suffixes: prefix, wildcard, fuzzy") {
@@ -66,6 +69,24 @@ class QueryParserSpec extends SparkSpec {
     assert(p("+lang:en (spark OR merge)") ===
       BoolQ(must = Seq(AttrQ("lang", "en")),
         should = Seq(BoolQ(should = Seq(TermQ("spark"), TermQ("merge"))))))
+  }
+
+  test("attr-only boolean agrees between relational and scorer paths") {
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = SparkEntry.index(spark, sfDir)
+    val rel = new RelationalPath(idx)
+    val relIds = rel.forParsed(p("+lang:en -spark"), 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(relIds.nonEmpty)
+    val urlOf = idx.docs.collect().map(d => d.docId -> d.url).toMap
+    val scorerIds = new Searcher(idx)
+      .topK(BoolQ(must = Seq(AttrQ("lang", "en")),
+        mustNot = Seq(TermQ("spark"))), 10)
+      .collect().map(_.getLong(1))
+      .map(d => urlOf(d).substring(urlOf(d).lastIndexOf('/') + 1).toLong).toSeq
+    assert(relIds === scorerIds)
+    // open-ended body range expands (does not silently match nothing)
+    assert(new Searcher(idx).topK(p("[window TO *]"), 10).count() > 0)
   }
 
   test("parsed string ≡ hand-built AST through the scorer path") {
