@@ -52,7 +52,7 @@ private[search] final case class PredQ(idx: Int) extends Query
 /** Non-scoring membership in an explicit (small, sorted) docId set —
   * the candidate filter of two-pass reranking; ships inside the
   * broadcast query so the restriction evaluates executor-side. */
-private[search] final case class DocIdSetQ(ids: Array[Long]) extends Query
+private[search] final case class DocIdSetQ(ids: Seq[Long]) extends Query
 
 /** Constant-score set membership: doc contains ANY of the terms; score
   * is constant (the SQL `IN` — [U …/search/TermInSetQuery.java], and the

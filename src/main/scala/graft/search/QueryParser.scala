@@ -147,10 +147,10 @@ object QueryParser {
     case WordT(Some(f), "*", _, boost) if f != "text" =>
       // field:* = FieldExistsQuery (open-open attr range)
       Some(boosted(AttrRangeQ(f, None, None), boost))
-    case WordT(Some("text") | None, "*", _, _) =>
+    case WordT(Some("text") | None, "*", _, boost) =>
       // every doc has a body: text-exists ≡ match-all (and never a
       // dictionary-wide PrefixQ("") expansion)
-      Some(MatchAllQ)
+      Some(boosted(MatchAllQ, boost))
     case WordT(field, text, fuzzy, boost) =>
       val isBody = field.isEmpty || field.contains("text")
       val q =
@@ -175,10 +175,14 @@ object QueryParser {
         if (terms.length == 1) TermQ(terms.head) else PhraseQ(terms, slop), boost))
     case RangeT(field, lo, hi, il, ih) =>
       val isBody = field.isEmpty || field.contains("text")
-      if (isBody)
-        Some(TermRangeQ(
-          Some(lo).filter(_ != "*").map(Analysis.lowercase),
-          Some(hi).filter(_ != "*").map(Analysis.lowercase), il, ih))
+      if (isBody) {
+        val loOpt = Some(lo).filter(_ != "*").map(Analysis.lowercase)
+        val hiOpt = Some(hi).filter(_ != "*").map(Analysis.lowercase)
+        // [* TO *] = every doc with a body = match-all, never a
+        // whole-dictionary expansion
+        if (loOpt.isEmpty && hiOpt.isEmpty) Some(MatchAllQ)
+        else Some(TermRangeQ(loOpt, hiOpt, il, ih))
+      }
       else Some(AttrRangeQ(field.get,
         Some(lo).filter(_ != "*"), Some(hi).filter(_ != "*"), il, ih))
     case _ => None

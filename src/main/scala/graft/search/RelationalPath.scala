@@ -116,6 +116,18 @@ final class RelationalPath(idx: graft.index.IndexView) {
       .select(col("rank").cast("int").as("rank"), col("doc_id"))
       .orderBy("rank")
 
+  /** Constant-score ranking: rank = docId (url-rank) order over a
+    * (docId, doc_id) frame — TakeOrderedAndProject bounds the rows
+    * before the rank Window (shared by match-all, term-set and
+    * attr-only paths). */
+  private def constRankByDocId(perDoc: DataFrame, k: Int): DataFrame =
+    perDoc
+      .orderBy(asc("docId"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(asc("docId"))))
+      .select(col("rank").cast("int").as("rank"), col("doc_id"))
+      .orderBy("rank")
+
   /** Single-term top-k: (rank, doc_id). */
   def termTopK(term: String, k: Int): DataFrame =
     rankTopK(scoredTf(Seq(term))
@@ -160,14 +172,10 @@ final class RelationalPath(idx: graft.index.IndexView) {
         .withColumn("rank", lit(0)).withColumn("doc_id", lit(0L))
         .select("rank", "doc_id").limit(0)
     else {
-      tfTable(terms).toDF("term", "docId", "tf")
-        .select("docId").distinct()
-        .join(docsWithId.select(col("docId"), col("doc_id")), "docId")
-        .orderBy(asc("docId"))
-        .limit(k) // TakeOrderedAndProject — bounded before the rank Window
-        .withColumn("rank", row_number().over(Window.orderBy(asc("docId"))))
-        .select(col("rank").cast("int").as("rank"), col("doc_id"))
-        .orderBy("rank")
+      constRankByDocId(
+        tfTable(terms).toDF("term", "docId", "tf")
+          .select("docId").distinct()
+          .join(docsWithId.select(col("docId"), col("doc_id")), "docId"), k)
     }
 
   /** Prefix / range / fuzzy top-k — term-dictionary expansion (a
@@ -276,10 +284,7 @@ final class RelationalPath(idx: graft.index.IndexView) {
               tfTable(mustNot.distinct).toDF("term", "docId", "tf")
                 .select("docId").distinct(),
               Seq("docId"), "left_anti")
-          return out.orderBy(asc("docId")).limit(k)
-            .withColumn("rank", row_number().over(Window.orderBy(asc("docId"))))
-            .select(col("rank").cast("int").as("rank"), col("doc_id"))
-            .orderBy("rank")
+          return constRankByDocId(out, k)
       }
     }
     val effMm = if (mustD.isEmpty) math.max(mm, 1) else mm
@@ -340,12 +345,7 @@ final class RelationalPath(idx: graft.index.IndexView) {
     * score ⇒ rank = docId (url-rank) order
     * [U lucene/core/.../search/MatchAllDocsQuery.java]. */
   def matchAllTopK(k: Int): DataFrame =
-    docsWithId.select(col("docId"), col("doc_id"))
-      .orderBy(asc("docId"))
-      .limit(k)
-      .withColumn("rank", row_number().over(Window.orderBy(asc("docId"))))
-      .select(col("rank").cast("int").as("rank"), col("doc_id"))
-      .orderBy("rank")
+    constRankByDocId(docsWithId.select(col("docId"), col("doc_id")), k)
 
   /** Scored term + non-scoring timestamp-range filter — the
     * PointRangeQuery / BKD analogue over the docs table

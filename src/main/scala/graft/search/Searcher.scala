@@ -88,7 +88,7 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
       .sortBy { case (d, s) => (-s, d) }
       .take(reRankDocs)
     if (topN.isEmpty) return rankedResult(Array.empty)
-    val ids = topN.map(_._1).sorted
+    val ids: Seq[Long] = topN.map(_._1).sorted.toSeq
     // candidate restriction ships INSIDE the broadcast query (DocIdSetQ
     // filter clause), so the rerank pass leapfrogs over ≤ reRankDocs
     // docs executor-side — never an exhaustive evaluation + collect
@@ -307,7 +307,7 @@ object SegmentScorer {
         case None => new EmptyScorer
       }
     case MatchNoneQ => new EmptyScorer
-    case DocIdSetQ(ids) => new IdSetScorer(ids)
+    case DocIdSetQ(ids) => new IdSetScorer(ids.toArray)
     case AttrQ(name, _) =>
       sys.error(s"attribute predicate not indexed before compile: $name")
     case AttrRangeQ(name, _, _, _, _) =>

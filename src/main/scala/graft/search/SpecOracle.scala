@@ -122,7 +122,7 @@ final class SpecOracle(corpus: Seq[(String, String, String)],
       if (okLo && okHi) Some(0f) else None
     case PredQ(i) => sys.error(s"internal PredQ($i) reached the SpecOracle")
     case DocIdSetQ(ids) =>
-      if (java.util.Arrays.binarySearch(ids, docId) >= 0) Some(0f) else None
+      if (ids.contains(docId)) Some(0f) else None
     case TermSetQ(ts, s) =>
       if (ts.exists(t => postings.get(t).exists(_.contains(docId)))) Some(s) else None
     case BoostQ(inner, b) => scoreDoc(inner, docId).map(b * _)

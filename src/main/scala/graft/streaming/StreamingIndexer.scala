@@ -60,11 +60,13 @@ object StreamingIndexer {
     val segsAlloc =
       (cfg.numPartitions + cfg.partsPerSegment - 1) / cfg.partsPerSegment
     // legacy generations (manifest rows without "segs") were allocated
-    // at genId*1e6 — start above their ceiling so new ids never collide
+    // at genId*1e6; new-style blocks are allocated ABOVE their ceiling,
+    // offset by the running sum of new-style segs (a max() would hand
+    // every new generation the same base — colliding with each other)
     val legacyCeiling = gens.collect {
       case (g, _, segs) if segs == 0L => (g + 1) * 1000000L
     }.maxOption.getOrElse(0L)
-    val segIdBase0 = math.max(gens.map(_._3).sum, legacyCeiling)
+    val segIdBase0 = legacyCeiling + gens.map(_._3).sum
     require(segIdBase0 + segsAlloc <= Int.MaxValue.toLong,
       s"segment id space exhausted: base=$segIdBase0 + $segsAlloc")
     val segIdBase = segIdBase0.toInt
