@@ -22,7 +22,7 @@ import graft.search.{Query, RelationalPath, Searcher, TermQ}
 object SparkEntry {
 
   /** Bump when the on-disk index format changes (stale caches rebuild). */
-  private val FormatVersion = "v3" // v3: PFor-packed block docs/tfs
+  private val FormatVersion = "v4" // v4: termstats (tlen, cmask) fuzzy prefilter columns
 
   private val indexes = new ConcurrentHashMap[String, InvertedIndex]()
 
@@ -100,6 +100,11 @@ object SparkEntry {
     "ir_q22_qstring_attr" -> ((s, d) =>
       rel(s, d).forParsed(graft.search.QueryParser.parse("+spark -merge +lang:en"), 10)),
     "ir_q23_expand" -> ((s, d) => rel(s, d).expandByLang("spark", 3)),
+    // required-attr anchor + optional SHOULD term (Lucene occur
+    // semantics: mm stays 0 because a required clause exists; anchor
+    // docs with no should match surface with score 0)
+    "ir_q28_attr_should" -> ((s, d) =>
+      rel(s, d).forParsed(graft.search.QueryParser.parse("+lang:en spark"), 10)),
     // span/interval proximity (§2.4 P2 row): ordered + unordered near
     "ir_q26_spannear" -> ((s, d) =>
       rel(s, d).spanNearDocs(Seq("spark", "merge"), slop = 3, inOrder = true)),
@@ -134,6 +139,10 @@ object SparkEntry {
     // maxDist=3 matches the 4-band pigeonhole recall guarantee (wider
     // distances need multi-table SimHash — see Dedup.simhashNearDups)
     "dd_simhash" -> ((s, d) => Dedup.simhashNearDups(docsTable(s, d), maxDist = 3)),
+    // wide-distance SimHash: multi-table permuted (C(10,2)=45 tables),
+    // recall guaranteed at maxDist=8 — the full pair set is exact
+    "dd_simhash_wide" -> ((s, d) =>
+      Dedup.simhashNearDupsWide(docsTable(s, d), maxDist = 8, numBlocks = 10)),
     // ---- text analysis ----
     "tx_counts" -> ((s, d) => TextStats.countingStats(docsTable(s, d)).orderBy("doc_id")),
     "tx_quality" -> ((s, d) => TextStats.qualityPpm(docsTable(s, d)).orderBy("doc_id")),
@@ -370,6 +379,8 @@ object SparkEntry {
       "SELECT doc_id, sum(score) AS s FROM scored WHERE term IN ('spark','join') GROUP BY doc_id HAVING count(*) = 2"),
     "ir_q22_qstring_attr" -> topkSql(
       "SELECT s1.doc_id, s1.score AS s FROM scored s1 WHERE s1.term = 'spark' AND NOT EXISTS (SELECT 1 FROM scored s2 WHERE s2.term = 'merge' AND s2.doc_id = s1.doc_id) AND s1.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
+    "ir_q28_attr_should" -> topkSql(
+      "SELECT d0.doc_id, coalesce(s1.score, 0.0) AS s FROM documents d0 LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'spark') s1 USING (doc_id) WHERE d0.lang = 'en'"),
     "dd_exact" ->
       """SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
@@ -422,6 +433,26 @@ object SparkEntry {
         |SELECT l.doc_id AS a, r.doc_id AS b, CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS dist
         |FROM shs l JOIN shs r ON l.doc_id < r.doc_id
         |WHERE bit_count(xor(l.sh, r.sh)) <= 3 ORDER BY a, b""".stripMargin,
+    // same SimHash-in-SQL oracle at the wide distance: the multi-table
+    // permuted candidate generation has guaranteed recall at maxDist=8,
+    // so the engine's output equals the brute-force pair set
+    "dd_simhash_wide" ->
+      """WITH tokh AS (SELECT doc_id, list_transform(string_split(text,' '), t ->
+        |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(string_split(t,''), c -> ord(c)::HUGEINT)),
+        |      (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs
+        |  FROM documents),
+        |bits AS (SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM tokh, unnest(hs) AS u(h), generate_series(0,63) g(b) GROUP BY doc_id, b),
+        |shh AS (SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS h
+        |  FROM bits GROUP BY doc_id),
+        |shs AS (SELECT doc_id,
+        |    (CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS sh
+        |  FROM shh)
+        |SELECT l.doc_id AS a, r.doc_id AS b, CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS dist
+        |FROM shs l JOIN shs r ON l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.sh, r.sh)) <= 8 ORDER BY a, b""".stripMargin,
     "tx_counts" ->
       """SELECT doc_id,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -117,8 +117,9 @@ object Deletes {
     // term stats from the JUST-WRITTEN compacted postings (columnar
     // term/df/ttf scan) — recomputing from newPostings would re-run the
     // whole explode→anti-join→re-block pipeline a second time
-    spark.read.parquet(s"$dir/postings2").groupBy("term")
-      .agg(sum("df").as("df"), sum("ttf").as("ttf"))
+    TermFilters.withFilterCols(
+      spark.read.parquet(s"$dir/postings2").groupBy("term")
+        .agg(sum("df").as("df"), sum("ttf").as("ttf")))
       .write.mode("overwrite").parquet(s"$dir/termstats2")
 
     // atomic-ish swap (directory renames; manifest written last)

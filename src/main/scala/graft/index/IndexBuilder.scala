@@ -238,8 +238,9 @@ object IndexBuilder {
     val postingsDf = spark.read.parquet(postingsPath)
     val termStatsPath = s"$dir/termstats"
     runStage(termStatsPath, stageSec) {
-      postingsDf.groupBy("term")
-        .agg(sum("df").as("df"), sum("ttf").as("ttf"))
+      TermFilters.withFilterCols(
+        postingsDf.groupBy("term")
+          .agg(sum("df").as("df"), sum("ttf").as("ttf")))
         .write.mode("overwrite").parquet(termStatsPath)
     }
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,18 +105,20 @@ object Dedup {
     * Returns (a, b, jaccard) with a < b. */
   def minhashNearDups(documents: DataFrame, numHashes: Int = 64,
                       bands: Int = 16, shingleSize: Int = 3,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      bucketCap: Int = 1024): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(documents, numHashes, shingleSize)
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bandKey",
         hash(col("band"), slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
       .select("doc_id", "band", "bandKey")
-    val cands = sigs.as("l").join(sigs.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.bandKey") === col("r.bandKey") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    // triangle-split bucket join: a degenerate band bucket (boilerplate
+    // pages) spreads over bounded tasks instead of one quadratic task
+    val cands = Skew
+      .boundedSelfJoinPairs(sigs, Seq("band", "bandKey"), "doc_id",
+        bucketCap, "minhash")
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .distinct()
     val sh = documents.select(col("doc_id").cast("long").as("doc_id"),
         shingleHashUdf(col("text"), lit(shingleSize)).as("sh"))
@@ -161,9 +163,11 @@ object Dedup {
     * inside buckets. maxDist is capped so bands keep ≥ 8 bits (wider
     * distances need multi-table permuted SimHash, not narrower bands —
     * 1-bit bands would bucket the universe together). */
-  def simhashNearDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDups(documents: DataFrame, maxDist: Int = 3,
+                      bucketCap: Int = 1024): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
-      s"maxDist=$maxDist: band guarantee supported for 0..7 (8+ bands of <8 bits degenerate)")
+      s"maxDist=$maxDist: band guarantee supported for 0..7 " +
+        "(use simhashNearDupsWide for wider distances)")
     val bands = maxDist + 1
     val width = (64 + bands - 1) / bands
     // width == 64 (maxDist = 0): the band IS the whole hash — (1L<<64)-1
@@ -174,13 +178,70 @@ object Dedup {
       .withColumn("bandKey",
         concat_ws(":", col("band"),
           expr(s"shiftrightunsigned(simhash, band * $width) & ${mask}L")))
-    val pairs = banded.as("l").join(banded.as("r"),
-        col("l.bandKey") === col("r.bandKey") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
+    val pairs = Skew
+      .boundedSelfJoinPairs(banded, Seq("bandKey"), "doc_id",
+        bucketCap, "simhash")
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
       .distinct()
     pairs
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+      .orderBy("a", "b")
+  }
+
+  /** Multi-table permuted SimHash for WIDE Hamming distances (the
+    * Manku/Jain/Sarma web-crawl near-dup table design
+    * [Detecting Near-Duplicates for Web Crawling, WWW'07]): split the
+    * 64-bit SimHash into `numBlocks` > maxDist bit blocks; one lookup
+    * table per (numBlocks − maxDist)-subset of blocks, keyed on those
+    * blocks' concatenated bits. Recall is 100% BY CONSTRUCTION: a pair
+    * within distance d has its differing bits inside at most d blocks,
+    * so at least numBlocks − d blocks are untouched and the subset made
+    * of untouched blocks keys both docs identically in that table.
+    * Exact popcount verification inside buckets; bucket joins are
+    * triangle-split like the narrow path.
+    *
+    * Table count is C(numBlocks, maxDist) — keep numBlocks − maxDist
+    * small (2–3); e.g. maxDist=8, numBlocks=10 → 45 tables of ~13-bit
+    * keys. At 100 TB the table explode is a 45× row fan-out of an
+    * 8-byte hash (not the text), and the per-table key width trades
+    * against bucketCap. */
+  def simhashNearDupsWide(documents: DataFrame, maxDist: Int,
+                          numBlocks: Int = 10,
+                          bucketCap: Int = 1024): DataFrame = {
+    require(maxDist >= 1 && maxDist < numBlocks && numBlocks <= 32,
+      s"need 1 <= maxDist < numBlocks <= 32: maxDist=$maxDist numBlocks=$numBlocks")
+    val keep = numBlocks - maxDist
+    val combos = (0 until numBlocks).combinations(keep).toSeq
+    require(combos.length <= 4096,
+      s"C($numBlocks,$keep)=${combos.length} tables — choose a smaller numBlocks−maxDist")
+    // block i covers bits [off(i), off(i) + w(i)); widths differ by ≤1
+    val base = 64 / numBlocks
+    val extra = 64 % numBlocks
+    val widths = (0 until numBlocks).map(i => if (i < extra) base + 1 else base)
+    val offs = widths.scanLeft(0)(_ + _)
+    def blockVal(i: Int): Column = {
+      val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
+      expr(s"shiftrightunsigned(simhash, ${offs(i)}) & ${mask}L")
+    }
+    val tables = combos.zipWithIndex.map { case (blocks, t) =>
+      // key = table id + the selected blocks' bits, packed left-to-right
+      val packed = blocks.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, widths(i)).bitwiseOR(blockVal(i))
+      }
+      struct(lit(t).as("tbl"), packed.as("bkey"))
+    }
+    val banded = simhash(documents)
+      .withColumn("tk", explode(array(tables: _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("tk.tbl").as("tbl"), col("tk.bkey").as("bkey"))
+    Skew.boundedSelfJoinPairs(banded, Seq("tbl", "bkey"), "doc_id",
+        bucketCap, "simhash-wide")
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")

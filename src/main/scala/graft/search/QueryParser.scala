@@ -154,7 +154,14 @@ object QueryParser {
     case WordT(field, text, fuzzy, boost) =>
       val isBody = field.isEmpty || field.contains("text")
       val q =
-        if (!isBody) AttrQ(field.get, text)
+        if (!isBody) {
+          // wildcard/fuzzy markers on attr fields would otherwise parse
+          // silently as literal equality (lang:e* matching nothing) —
+          // reject, mirroring the explicit phrase-on-attr require below
+          require(fuzzy.isEmpty && !text.exists(c => c == '*' || c == '?'),
+            s"wildcard/fuzzy not supported on attribute field '${field.get}': $text")
+          AttrQ(field.get, text)
+        }
         else {
           val w = Analysis.lowercase(text)
           fuzzy match {
@@ -228,9 +235,15 @@ object QueryParser {
       }
     }
 
-    val must = clauses.collect { case (MUST, q) => q }.toSeq
-    val should = clauses.collect { case (SHOULD, q) => q }.toSeq
-    val mustNot = clauses.collect { case (MUST_NOT, q) => q }.toSeq
+    // normalize duplicate clauses at PARSE time so both executors (the
+    // scorer path sums every clause, the relational path aggregates per
+    // term) receive the same deduped query: repeated clauses within an
+    // occur collapse, and a clause that is both MUST and SHOULD scores
+    // once as MUST (its SHOULD copy is redundant for matching).
+    val must = clauses.collect { case (MUST, q) => q }.distinct.toSeq
+    val should = clauses.collect { case (SHOULD, q) => q }.distinct
+      .filterNot(must.contains).toSeq
+    val mustNot = clauses.collect { case (MUST_NOT, q) => q }.distinct.toSeq
     val q =
       if (must.isEmpty && mustNot.isEmpty && should.length == 1) should.head
       else if (should.isEmpty && mustNot.isEmpty && must.length == 1) must.head

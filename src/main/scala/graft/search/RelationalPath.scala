@@ -287,25 +287,41 @@ final class RelationalPath(idx: graft.index.IndexView) {
           return constRankByDocId(out, k)
       }
     }
-    val effMm = if (mustD.isEmpty) math.max(mm, 1) else mm
-    var perDoc = scoredTf(scoredTerms)
+    // Lucene occur semantics (BoolScorer / Boolean2ScorerSupplier):
+    // mm defaults to 1 only when there is NO required clause at all —
+    // an attr FILTER counts as required, so "+lang:en spark" keeps
+    // mm=0 and attr-matching docs surface with score 0 when no SHOULD
+    // term matches (identical to the scorer path's required anchor).
+    val hasRequired = mustD.nonEmpty || attrFilter.isDefined
+    val effMm = if (hasRequired) mm else math.max(mm, 1)
+    val scored = scoredTf(scoredTerms)
       .withColumn("isMust", col("term").isin(mustD: _*))
       .groupBy("docId", "doc_id")
       .agg(sum("score").as("s"),
         sum(when(col("isMust"), 1).otherwise(0)).as("nMust"),
         sum(when(!col("isMust"), 1).otherwise(0)).as("nShould"))
       .filter(col("nMust") === mustD.length)
+    var out =
+      if (mustD.isEmpty && attrFilter.isDefined)
+        // attr predicate is the required anchor: left-join the SHOULD
+        // sums so anchor docs with zero should matches keep score 0
+        docsWithId.filter(attrFilter.get).select(col("docId"), col("doc_id"))
+          .join(scored.select(col("docId"), col("s"), col("nShould")),
+            Seq("docId"), "left")
+          .na.fill(Map("s" -> 0.0, "nShould" -> 0))
+      else scored
     if (shouldD.nonEmpty && effMm > 0)
-      perDoc = perDoc.filter(col("nShould") >= effMm)
-    var out = perDoc.select(col("docId"), col("doc_id"), col("s"))
+      out = out.filter(col("nShould") >= effMm)
+    out = out.select(col("docId"), col("doc_id"), col("s"))
     if (mustNot.nonEmpty)
       out = out.join(
         tfTable(mustNot.distinct).toDF("term", "docId", "tf")
           .select("docId").distinct(),
         Seq("docId"), "left_anti")
-    attrFilter.foreach { pred =>
-      out = out.join(idx.docs.filter(pred).select("docId"), Seq("docId"), "left_semi")
-    }
+    if (mustD.nonEmpty) // otherwise the attr anchor already applied
+      attrFilter.foreach { pred =>
+        out = out.join(idx.docs.filter(pred).select("docId"), Seq("docId"), "left_semi")
+      }
     rankTopK(out, k)
   }
 
@@ -360,12 +376,24 @@ final class RelationalPath(idx: graft.index.IndexView) {
     rankTopK(p.join(f, Seq("docId"), "left_semi"), k)
   }
 
-  /** Span-near matching docs (ascending doc_id): decode positions for
-    * the query terms, group per doc, verify with the SHARED
-    * Spans.spanFreq semantics (two-phase, like phraseDocs)
-    * [U lucene/core/.../search/spans/SpanNearQuery.java]. */
+  /** Span-near matching docs (ascending doc_id), two-phase like the
+    * scorer path [U lucene/core/.../search/spans/SpanNearQuery.java]:
+    *
+    * Phase 1 pre-intersects on docId — only docs containing ALL k
+    * distinct terms survive (countDistinct == k over the tf rows; with
+    * a hot term in the query the ANY-term candidate set would be the
+    * whole corpus). Phase 2 joins the decoded positions down to those
+    * candidates and verifies with the SHARED Spans.spanFreq semantics
+    * on a typed Dataset (flatMapGroups — no opaque UDF filter). */
   def spanNearDocs(terms: Seq[String], slop: Int, inOrder: Boolean): DataFrame = {
     val distinctTerms = terms.distinct
+    // phase 1: conjunction candidates from docs/tf only — the position
+    // payload of non-candidates never reaches the verify stage
+    val cands = tfTable(distinctTerms).toDF("term", "docId", "tf")
+      .groupBy("docId")
+      .agg(countDistinct("term").as("nt"))
+      .filter(col("nt") === distinctTerms.length)
+      .select("docId")
     val rows = idx.postings.filter(col("term").isin(distinctTerms: _*))
     val hits = rows.flatMap { r =>
       r.blocks.iterator.flatMap { b =>
@@ -376,14 +404,20 @@ final class RelationalPath(idx: graft.index.IndexView) {
       }
     }.toDF("term", "docId", "pos")
     val qTerms = terms
-    val verify = udf { (tp: Seq[org.apache.spark.sql.Row]) =>
-      val byTerm = tp.map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
-      qTerms.forall(byTerm.contains) &&
-        Spans.spanFreq(qTerms.map(byTerm).toIndexedSeq, slop, inOrder) > 0
-    }
-    hits.groupBy("docId")
-      .agg(collect_list(struct(col("term"), col("pos"))).as("tp"))
-      .filter(verify(col("tp")))
+    val verified = hits.join(cands, "docId") // k-way docId pre-intersection
+      .select(col("docId").cast("long"), col("term"), col("pos"))
+      .as[(Long, String, Seq[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        val byTerm = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.foreach { case (_, t, p) => byTerm(t) = p.toArray }
+        if (qTerms.forall(byTerm.contains) &&
+          Spans.spanFreq(qTerms.map(byTerm).toIndexedSeq, slop, inOrder) > 0)
+          Iterator.single(docId)
+        else Iterator.empty
+      }
+      .toDF("docId")
+    verified
       .join(docsWithId.select("docId", "doc_id"), "docId")
       .select("doc_id").orderBy("doc_id")
   }

@@ -38,7 +38,8 @@ final class IndexTermDict(idx: graft.index.IndexView, maxExpansions: Int = 10000
   def regex(re: String): Seq[String] =
     run(idx.termStats.filter(col("term").rlike(re)))
   def fuzzy(term: String, maxEdits: Int): Seq[String] =
-    run(idx.termStats.filter(levenshtein(col("term"), lit(term)) <= maxEdits))
+    run(graft.index.TermFilters.fuzzyPruned(idx.termStats, term, maxEdits)
+      .filter(graft.index.TermFilters.withinEdits(col("term"), term, maxEdits)))
   def range(lo: Option[String], hi: Option[String],
             il: Boolean, ih: Boolean): Seq[String] = {
     val conds =

@@ -24,11 +24,15 @@ object Suggest {
       .limit(k)
 
   /** Spell correction: dictionary terms within `maxEdits` of the word
-    * (excluding the word itself), most frequent first. */
+    * (excluding the word itself), most frequent first. The scan is
+    * pruned BEFORE the levenshtein runs — a pushdown-able `tlen` band
+    * plus a character-presence bitmask (TermFilters, the Levenshtein-
+    * automata-over-FST analogue), then a banded O(len·e) levenshtein
+    * on the survivors; results are value-identical to a full scan. */
   def spellcheck(idx: IndexView, word: String, maxEdits: Int = 2,
                  k: Int = 10): DataFrame =
-    idx.termStats
-      .filter(levenshtein(col("term"), lit(word)) <= maxEdits &&
+    graft.index.TermFilters.fuzzyPruned(idx.termStats, word, maxEdits)
+      .filter(graft.index.TermFilters.withinEdits(col("term"), word, maxEdits) &&
         col("term") =!= word)
       .select(col("term"), col("df").cast("long").as("df"))
       .orderBy(desc("df"), asc("term"))

@@ -59,7 +59,7 @@ class IndexSpec extends SparkSpec {
     assert(postings("the") === Seq((2L, 3, Seq(0, 1, 2)), (5L, 1, Seq(0))))
     assert(postings("batch") === Seq((4L, 2, Seq(2, 3))))
 
-    val stats = idx.termStats.as[(String, Long, Long)].collect()
+    val stats = idx.termStats.select("term", "df", "ttf").as[(String, Long, Long)].collect()
       .map(t => t._1 -> ((t._2, t._3))).toMap
     assert(stats("spark") === ((4L, 5L)))
     assert(stats("the") === ((2L, 4L)))

@@ -87,6 +87,89 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.25, s"LSH recall $recall too low") // 4 planes, 1 probe
   }
 
+  test("boundedSelfJoinPairs == naive self-join pairs (tiny cap forces splits)") {
+    import spark.implicits._
+    // random-ish buckets: 60 rows over 5 buckets, cap 4 ⇒ every bucket
+    // triangle-splits; the emitted pair set must be EXACTLY the naive one
+    val rows = (0 until 60).map(i => (i.toLong, (i * 7 % 5).toLong, s"p$i"))
+    val df = rows.toDF("id", "bucket", "payload")
+    val got = Skew.boundedSelfJoinPairs(df, Seq("bucket"), "id", cap = 4)
+      .select(col("a.id"), col("b.id"), col("a.payload"), col("b.payload"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val expected = (for {
+      (a, ba, _) <- rows; (b, bb, _) <- rows
+      if ba == bb && a < b
+    } yield (a, b, s"p$a", s"p$b")).toSet
+    assert(got.toSet === expected)
+    assert(got.length === expected.size, "each pair emitted exactly once")
+  }
+
+  test("planted degenerate bucket: capped LSH joins keep the full pair set") {
+    // 200 identical docs all share every band bucket — uncapped this is
+    // one quadratic task; with cap=16 it must still emit all C(200,2)
+    // pairs (triangle split, nothing dropped), plus the distinct docs
+    val planted = Seq.fill(200)(base) ++ corpus.drop(1)
+    val df = docsDf(planted)
+    val got = Dedup.minhashNearDups(df, threshold = 0.95, bucketCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val identIds = (0 until 200).map(_.toLong) :+ 200L // index 200 = corpus(1) = base
+    val expectedIdent = (for {
+      a <- identIds; b <- identIds; if a < b
+    } yield (a, b)).toSet
+    assert(expectedIdent.subsetOf(got),
+      s"missing ${(expectedIdent -- got).size} identical-doc pairs")
+    // every reported pair really has jaccard ≥ 0.95 (identical shingles)
+    assert(got.forall { case (a, b) =>
+      expectedIdent.contains((a, b)) || a > 199L })
+  }
+
+  test("wide SimHash (multi-table permuted): exact pair set at maxDist 8") {
+    val df = docsDf(corpus)
+    val sh = Dedup.simhash(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (maxDist <- Seq(8, 12)) {
+      val expected = (for {
+        a <- sh.keys; b <- sh.keys; if a < b
+        if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= maxDist
+      } yield (a, b)).toSet
+      val got = Dedup.simhashNearDupsWide(df, maxDist, numBlocks = maxDist + 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"maxDist=$maxDist")
+    }
+  }
+
+  test("ANN top-k plan: bounded Aggregator, no Window over unbounded input") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    for (df <- Seq(Ann.bruteTopK(emb, q, 5),
+                   Ann.lshTopK(emb, q, 5, dim = 64, numPlanes = 4))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"Window in ANN plan:\n${p.take(2000)}")
+      // partial + final object-hash aggregation: O(k) heaps map-side,
+      // only ≤k buffers cross the shuffle
+      assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    }
+  }
+
+  test("TopKAggregator: order, ties, bound, merge-order independence") {
+    val agg = new TopKAggregator(3)
+    val items = Seq(ScoredId(1.0, 5), ScoredId(2.0, 4), ScoredId(1.0, 2),
+      ScoredId(0.5, 1), ScoredId(2.0, 9), ScoredId(1.5, 7))
+    val expected = Seq(ScoredId(2.0, 4), ScoredId(2.0, 9), ScoredId(1.5, 7))
+    // every permutation and every split point reduces+merges to the same
+    for (perm <- items.permutations.take(50)) {
+      val whole = perm.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(whole) === expected)
+      val (l, r) = perm.splitAt(2)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === expected)
+    }
+  }
+
   test("text stats: counts and quality bounded") {
     val df = docsDf(corpus)
     val counts = TextStats.countingStats(df).collect()

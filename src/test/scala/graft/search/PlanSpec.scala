@@ -88,6 +88,38 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("spellcheck scan is pruned: tlen band pushed into the parquet scan") {
+    val df = Suggest.spellcheck(idx, "spark", maxEdits = 1, k = 10)
+    val p = plan(df)
+    // the pushdown-able prefilter (|len−5| ≤ 1) reaches the scan — the
+    // Levenshtein-automata-over-FST analogue; the levenshtein itself
+    // only ever sees the pruned candidates
+    assert(p.contains("GreaterThanOrEqual(tlen,4)") &&
+      p.contains("LessThanOrEqual(tlen,6)"), p.take(3000))
+    // and the pruned scan is value-identical to the unpruned one
+    val unpruned = idx.termStats
+      .filter(levenshtein(col("term"), lit("spark")) <= 1 && col("term") =!= "spark")
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(desc("df"), asc("term")).limit(10)
+    assert(df.collect().toSeq === unpruned.collect().toSeq)
+  }
+
+  test("span-near: typed verify above a k-way docId pre-intersection, no UDF") {
+    val rel = new RelationalPath(idx)
+    val p = plan(rel.spanNearDocs(Seq("spark", "merge"), 3, inOrder = true))
+    // "UDF(" = a ScalaUDF call site (typed flatMap's internal
+    // UDFAdaptors class name is fine — that's the MapGroups machinery)
+    assert(!p.contains("UDF("), "opaque UDF filter in span-near plan")
+    assert(!p.contains("collect_list"), "ANY-term collect in span-near plan")
+    val iVerify = p.indexOf("MapGroups")
+    assert(iVerify > 0, p.take(2000))
+    // the conjunction candidates (count(distinct term) == k) join BELOW
+    // the verify stage — a hot term never floods the position collect
+    val below = p.drop(iVerify)
+    assert(below.contains("Join") && below.contains("count("),
+      below.take(3000))
+  }
+
   test("postings scan prunes columns (term stats never read blocks)") {
     val p = plan(idx.termStats.filter(col("term") === "spark"))
     assert(!p.contains("blocks"),

@@ -107,7 +107,8 @@ class SearchSpec extends SparkSpec {
 
   test("per-term df/ttf equality vs SpecOracle for EVERY term") {
     import idx.spark.implicits._
-    val stats = idx.termStats.as[(String, Long, Long)].collect()
+    val stats = idx.termStats.select("term", "df", "ttf")
+      .as[(String, Long, Long)].collect()
     assert(stats.nonEmpty)
     stats.foreach { case (t, df, ttf) =>
       assert(df === oracle.df(t), s"df($t)")
