@@ -36,6 +36,36 @@ object SparkEntry {
           hotTermDf = 300, numSalts = 4, hotSampleRate = 1.0))
     })
 
+  /** Build-or-open an index-time-SORTED index (sort key = descending
+    * text length, url tie-break) for the early-termination gate. */
+  def sortedIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    indexes.computeIfAbsent(sfDir + "#sorted", { _ =>
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"/root/repo/target/gindex/$FormatVersion/$name-sorted"
+      IndexBuilder.build(spark, Corpus.pages(spark, sfDir), dir,
+        IndexConfig(numPartitions = 8, partsPerSegment = 2,
+          hotTermDf = 300, numSalts = 4, hotSampleRate = 1.0,
+          sortKeySql =
+            Some("lpad(cast(100000000 - length(text) as string), 9, '0')")))
+    })
+
+  /** Build-or-open the url-FIELD index: the same corpus in the same url
+    * order (docIds line up with the body index), with the field's own
+    * analysis chain — punct→space mapping char filter, then the
+    * standard tokenizer (Solr per-field fieldType analyzers). */
+  def urlIndex(spark: SparkSession, sfDir: String): InvertedIndex =
+    indexes.computeIfAbsent(sfDir + "#url", { _ =>
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"/root/repo/target/gindex/$FormatVersion/$name-url"
+      import spark.implicits._
+      val pages = Corpus.pages(spark, sfDir).toDF()
+        .withColumn("text", lower(translate(col("url"), ":/.-", "    ")))
+        .as[graft.model.Page]
+      IndexBuilder.build(spark, pages, dir,
+        IndexConfig(numPartitions = 8, partsPerSegment = 2,
+          hotTermDf = 300, numSalts = 4, hotSampleRate = 1.0))
+    })
+
   private def rel(spark: SparkSession, sfDir: String): RelationalPath =
     new RelationalPath(index(spark, sfDir))
 
@@ -105,6 +135,18 @@ object SparkEntry {
     // docs with no should match surface with score 0)
     "ir_q28_attr_should" -> ((s, d) =>
       rel(s, d).forParsed(graft.search.QueryParser.parse("+lang:en spark"), 10)),
+    // index-time sort (desc text length) + early-terminating sorted
+    // read: k docs per segment via pushed docId ranges, never a corpus
+    // scan — the TopFieldCollector early-termination analogue
+    "ir_q29_sorted" -> ((s, d) =>
+      graft.search.SortedRead.earlyTopK(sortedIndex(s, d), 10)),
+    // edismax: qf = text^2 url^1, mm = 50% — per-term DisMax across the
+    // two single-field indexes (docId-aligned), Boolean over terms
+    "ir_q30_edismax" -> ((s, d) => {
+      val p = graft.search.EDisMax.parse("spark src3", "50%")
+      graft.search.EDisMax.topK(
+        Seq(index(s, d) -> 2.0, urlIndex(s, d) -> 1.0), p, 10)
+    }),
     // span/interval proximity (§2.4 P2 row): ordered + unordered near
     "ir_q26_spannear" -> ((s, d) =>
       rel(s, d).spanNearDocs(Seq("spark", "merge"), slop = 3, inOrder = true)),
@@ -381,6 +423,34 @@ object SparkEntry {
       "SELECT s1.doc_id, s1.score AS s FROM scored s1 WHERE s1.term = 'spark' AND NOT EXISTS (SELECT 1 FROM scored s2 WHERE s2.term = 'merge' AND s2.doc_id = s1.doc_id) AND s1.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
     "ir_q28_attr_should" -> topkSql(
       "SELECT d0.doc_id, coalesce(s1.score, 0.0) AS s FROM documents d0 LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'spark') s1 USING (doc_id) WHERE d0.lang = 'en'"),
+    "ir_q29_sorted" ->
+      """SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+        |  SELECT row_number() OVER (ORDER BY length(text) DESC, source ASC, doc_id ASC) AS rank, doc_id
+        |  FROM documents) WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // edismax twin: url-field BM25 restated over the five url tokens
+    // (https example com <source> <12-digit id> — dl = 5 exactly, so
+    // avgdl = 5.0 and dlq = 5), DisMax per (doc, term) across fields
+    // with boosts 2/1, sum over terms, mm = 1
+    "ir_q30_edismax" ->
+      (bm25Cte +
+        """, utok AS (SELECT doc_id, unnest(['https','example','com', source,
+          |    lpad(CAST(doc_id AS VARCHAR), 12, '0')]) AS term FROM documents),
+          |utf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM utok GROUP BY 1, 2),
+          |udfs AS (SELECT term, count(*)::BIGINT AS df FROM utf GROUP BY 1),
+          |ucs AS (SELECT count(*)::BIGINT AS n, 5.0::DOUBLE AS avgdl FROM documents),
+          |uscored AS (SELECT t.term, t.doc_id,
+          |    ln(1.0 + (ucs.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf / (t.tf + 1.2 * (0.25 + 0.75 * 5 / ucs.avgdl))) AS score
+          |  FROM utf t JOIN udfs d USING (term), ucs),
+          |allf AS (
+          |  SELECT doc_id, term, 2.0 * score AS ws FROM scored WHERE term IN ('spark','src3')
+          |  UNION ALL
+          |  SELECT doc_id, term, 1.0 * score AS ws FROM uscored WHERE term IN ('spark','src3')),
+          |dmx AS (SELECT doc_id, term, max(ws) AS ts FROM allf GROUP BY 1, 2),
+          |sel AS (SELECT doc_id, sum(ts) AS s FROM dmx GROUP BY 1 HAVING count(*) >= 1)
+          |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+          |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
+          |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin),
     "dd_exact" ->
       """SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

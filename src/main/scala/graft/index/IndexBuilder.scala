@@ -45,6 +45,14 @@ final case class IndexConfig(
     segIdBase: Int = 0,
     stem: Boolean = false,
     synonyms: Map[String, String] = Map.empty,
+    /** Index-time sort (the IndexSorter / `IndexWriterConfig.setIndexSort`
+      * analogue [U lucene/core/.../index/IndexSorter.java]): a SQL
+      * expression over the page columns whose STRING order defines the
+      * docId order (ties broken by url). None = url order (default).
+      * Sorting segments by a static score enables early-terminating
+      * sorted reads (SortedRead.earlyTopK) — the reference's other big
+      * latency lever for sort-field queries. */
+    sortKeySql: Option[String] = None,
     /** SPIMI RAM budget per task: when the in-memory byte-pool exceeds
       * this, the partial inverted map is flushed as sorted runs and
       * cleared (the DWPT flush-at-RAM-budget analogue
@@ -104,22 +112,29 @@ object IndexBuilder {
     // the entire (all-columns) corpus scan as its sampling pass, this
     // reads the corpus exactly once and the bounds are deterministic
     // across retries (fixed seed over a stored table).
+    // docId order = sortKey order; default sortKey is the url itself
+    // (an index-time sort key prepends a static-score string, url as
+    // tie-break, so the whole docId machinery follows the sort)
+    val sortKey: org.apache.spark.sql.Column = cfg.sortKeySql
+      .map(s => concat(expr(s), lit("|"), col("url")))
+      .getOrElse(col("url"))
     val parted: Dataset[(String, String, String, java.sql.Timestamp)] = {
       val base = pages.select(col("url"), col("lang"), col("text"), col("warc_ts"))
-      val bounds = urlRangeBounds(spark, pages, cfg.numPartitions)
+      val bounds = keyRangeBounds(spark, pages, sortKey, cfg.numPartitions)
       val bcBounds = spark.sparkContext.broadcast(bounds)
-      val pidOf = udf { (url: String) =>
+      val pidOf = udf { (key: String) =>
         val b = bcBounds.value
-        val i = java.util.Arrays.binarySearch(b.asInstanceOf[Array[AnyRef]], url)
+        val i = java.util.Arrays.binarySearch(b.asInstanceOf[Array[AnyRef]], key)
         if (i >= 0) i + 1 else -i - 1
       }
       // partition-index preimages: route pid p to hash-partition p
       val pre = hashPreimages(spark, cfg.numPartitions)
       base
-        .withColumn("__gbucket", element_at(typedLit(pre.toSeq), pidOf(col("url")) + 1))
+        .withColumn("__gkey", sortKey)
+        .withColumn("__gbucket", element_at(typedLit(pre.toSeq), pidOf(col("__gkey")) + 1))
         .repartition(cfg.numPartitions, col("__gbucket"))
-        .drop("__gbucket")
-        .sortWithinPartitions("url")
+        .sortWithinPartitions("__gkey")
+        .drop("__gbucket", "__gkey")
         .as[(String, String, String, java.sql.Timestamp)]
     }
     parted.persist(cfg.inputCacheLevel)
@@ -278,7 +293,7 @@ object IndexBuilder {
     InvertedIndex.open(spark, dir)
   }
 
-  /** ≤ parts-1 sorted url cut points; partition p holds urls in
+  /** ≤ parts-1 sorted sort-key cut points; partition p holds keys in
     * [bounds(p-1), bounds(p)) (binary-search insertion point). ONE
     * column-pruned job: a deterministic per-partition reservoir sample
     * rides along with the exact per-partition counts, and cut points
@@ -286,12 +301,13 @@ object IndexBuilder {
     * count/sampleSize rows) — the RangePartitioner sketch, without
     * re-executing the full-width corpus scan. Empty/tiny corpora yield
     * fewer cut points; trailing partitions just stay empty. */
-  private def urlRangeBounds(spark: SparkSession, pages: Dataset[Page],
+  private def keyRangeBounds(spark: SparkSession, pages: Dataset[Page],
+                             keyCol: org.apache.spark.sql.Column,
                              parts: Int): Array[String] = {
     if (parts <= 1) return Array.empty
     import spark.implicits._
     val perPart = 256
-    val stats: Array[(Long, Array[String])] = pages.select("url").as[String]
+    val stats: Array[(Long, Array[String])] = pages.select(keyCol.as("k")).as[String]
       .mapPartitions { it =>
         // deterministic reservoir (algorithm R), seeded by partition id
         var seed = 0x9E3779B97F4A7C15L ^

@@ -56,6 +56,16 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
 
   def lineage: DataFrame = spark.read.parquet(s"$dir/lineage")
 
+  /** Per-segment docId ranges (driver-side, O(numSegments)) — the
+    * SegmentInfos the early-terminating sorted read plans against. */
+  @volatile private var segInfos: Option[Array[graft.model.SegmentInfo]] = None
+  def segments: Array[graft.model.SegmentInfo] = {
+    if (segInfos.isEmpty)
+      segInfos = Some(spark.read.parquet(s"$dir/segments")
+        .as[graft.model.SegmentInfo].collect().sortBy(_.segId))
+    segInfos.get
+  }
+
   override def hasDeletes: Boolean = Deletes.hasTombstones(dir)
   override def tombstones: Dataset[java.lang.Long] = Deletes.tombstones(spark, dir)
 

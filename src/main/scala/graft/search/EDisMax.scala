@@ -1,0 +1,90 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analysis
+import graft.index.IndexView
+
+/** edismax — the multi-field user-query dialect Solr serves by default
+  * [U solr/core/.../search/ExtendedDismaxQParser.java, DisMaxQParser]:
+  * each user term expands to a DisjunctionMax over the `qf` fields with
+  * per-field boosts; bare terms are SHOULD under a percentage
+  * minimum-should-match; `+`/`-` mark MUST / MUST_NOT (required in /
+  * excluded from ANY qf field).
+  *
+  * Fields are separate single-field indexes built over the SAME corpus
+  * in the SAME url order, so docIds line up across them and the
+  * cross-field combine is an equi-join on docId (per-field analysis
+  * chains, e.g. the url field's punct→space mapping filter, live in the
+  * field's own build). Scoring: per (doc, term)
+  * max_f(boost_f · score_f) (tie=0), summed over matching terms —
+  * DisMaxQ over fields inside BooleanQuery over terms. */
+object EDisMax {
+
+  final case class Parsed(must: Seq[String], should: Seq[String],
+                          mustNot: Seq[String], mmCount: Int)
+
+  /** Parse the user string: whitespace-split terms with +/- prefixes;
+    * `mm` is an absolute count ("2") or a percentage ("50%", floor of
+    * the SHOULD clause count — the Solr rounding rule). */
+  def parse(q: String, mm: String = "0"): Parsed = {
+    val toks = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(toks.nonEmpty, s"empty edismax query: '$q'")
+    def word(t: String): String = Analysis.lowercase(t)
+    val must = toks.filter(_.startsWith("+")).map(t => word(t.drop(1)))
+    val mustNot = toks.filter(_.startsWith("-")).map(t => word(t.drop(1)))
+    val should = toks.filterNot(t => t.startsWith("+") || t.startsWith("-")).map(word)
+    val mmCount =
+      if (mm.endsWith("%"))
+        math.max(0, mm.dropRight(1).trim.toInt) * should.distinct.length / 100
+      else mm.trim.toInt
+    Parsed(must.distinct, should.distinct.filterNot(must.contains),
+      mustNot.distinct, mmCount)
+  }
+
+  /** Execute over `fields` = (index, boost) per qf entry.
+    * Output: (rank, doc_id), double-precision tie-robust ranking like
+    * the other relational top-k paths. */
+  def topK(fields: Seq[(IndexView, Double)], p: Parsed, k: Int = 10): DataFrame = {
+    require(fields.nonEmpty, "edismax needs at least one qf field")
+    val spark = fields.head._1.spark
+    val scoredTerms = p.must ++ p.should
+    require(scoredTerms.nonEmpty, "edismax needs at least one positive term")
+
+    // per-field per-(term, doc) boosted partials, unioned across fields
+    def fieldScores(terms: Seq[String]): DataFrame =
+      fields.map { case (idx, boost) =>
+        new RelationalPath(idx).scoredTf(terms)
+          .select(col("term"), col("docId"), col("doc_id"),
+            (col("score") * lit(boost)).as("ws"))
+      }.reduce(_ unionByName _)
+
+    // DisMax per (doc, term) across fields, then Boolean over terms
+    val perDoc = fieldScores(scoredTerms)
+      .groupBy("docId", "doc_id", "term")
+      .agg(max("ws").as("ts"))
+      .withColumn("isMust", col("term").isin(p.must: _*))
+      .groupBy("docId", "doc_id")
+      .agg(sum("ts").as("s"),
+        sum(when(col("isMust"), 1).otherwise(0)).as("nMust"),
+        sum(when(!col("isMust"), 1).otherwise(0)).as("nShould"))
+      .filter(col("nMust") === p.must.length)
+    val mmFiltered =
+      if (p.should.nonEmpty && p.mmCount > 0)
+        perDoc.filter(col("nShould") >= p.mmCount)
+      else perDoc
+    var out = mmFiltered.select(col("docId"), col("doc_id"), col("s"))
+    if (p.mustNot.nonEmpty) // excluded if the term matches ANY qf field
+      out = out.join(
+        fieldScores(p.mustNot).select("docId").distinct(),
+        Seq("docId"), "left_anti")
+    out
+      .orderBy(desc("s"), asc("docId"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("s"), asc("docId"))))
+      .select(col("rank").cast("int").as("rank"), col("doc_id"))
+      .orderBy("rank")
+  }
+}

@@ -120,7 +120,7 @@ final class RelationalPath(idx: graft.index.IndexView) {
     * (docId, doc_id) frame — TakeOrderedAndProject bounds the rows
     * before the rank Window (shared by match-all, term-set and
     * attr-only paths). */
-  private def constRankByDocId(perDoc: DataFrame, k: Int): DataFrame =
+  private[search] def constRankByDocId(perDoc: DataFrame, k: Int): DataFrame =
     perDoc
       .orderBy(asc("docId"))
       .limit(k)

@@ -157,4 +157,25 @@ class IndexSpec extends SparkSpec {
     assert(postingsAfter.flatMap(decodeAll).toSeq === postingsBefore.flatMap(decodeAll).toSeq)
     assert(CheckIndex.audit(idx2).isEmpty)
   }
+
+  test("index-time sort: docIds follow the sort key; early top-k == full scan") {
+    // sort by DESC token count (zero-padded ascending complement)
+    val idx = IndexBuilder.build(spark, mkPages(miniTexts), tmpDir("sorted"),
+      IndexConfig(numPartitions = 2, partsPerSegment = 1,
+        sortKeySql = Some(
+          "lpad(cast(1000 - size(split(text, ' ')) as string), 4, '0')")))
+    // docId 0 must be the longest doc (4 tokens: doc4 "join join batch batch")
+    val byDocId = idx.docs.collect().sortBy(_.docId)
+    val lens = byDocId.map(_.dl).toSeq
+    assert(lens === lens.sorted.reverse, s"docs not in desc-length order: $lens")
+    // early-terminated sorted read == full-scan rank-by-docId
+    val early = SortedRead.earlyTopK(idx, 3).collect().toSeq
+    val full = SortedRead.fullScanTopK(idx, 3).collect().toSeq
+    assert(early === full)
+    // the per-segment docId windows are pushed into the docs scan
+    val p = SortedRead.earlyTopK(idx, 3).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters") && p.contains("docId"), p.take(3000))
+    assert(CheckIndex.audit(idx).isEmpty)
+  }
 }
