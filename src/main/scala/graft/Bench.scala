@@ -47,6 +47,8 @@ object Bench {
       .config("spark.speculation.multiplier", "2")
       .config("spark.speculation.quantile", "0.75")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -67,11 +69,8 @@ object Bench {
     val parts = if (repeat >= 512) 256 else 64
     IndexConfig(numPartitions = parts, partsPerSegment = parts / 8,
       hotTermDf = 2000, numSalts = 4,
-      // large corpora: keep the staged input OFF the executor heap
-      // (deserialization scales with cores; cache-tier memcpy does not)
-      inputCacheLevel =
-        if (repeat >= 512) org.apache.spark.storage.StorageLevel.DISK_ONLY
-        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      spimiSpillBytes =
+        sys.env.getOrElse("SPARK_GRAFT_SPILL_MB", "64").toLong << 20)
   }
 
   /** Timed fresh build; returns (seconds, docCount). The ×R corpus is
@@ -98,6 +97,38 @@ object Bench {
     val t0 = System.nanoTime()
     val idx = IndexBuilder.build(spark, pages, dir, buildConfig(repeat))
     ((System.nanoTime() - t0) / 1e9, idx.stats.docCount)
+  }
+
+  /** Memory-BANDWIDTH calibration: each thread streams its own 32 MiB
+    * long array (sequential sum) for ~1.5 s; returns passes/sec. An
+    * indexing build is bandwidth-bound (tokenization, byte-pool
+    * packing, shuffle serde), so on a single box the SHARED memory
+    * controller — not the core count — is the binding ceiling at high
+    * thread counts; this measures that ceiling directly, where the
+    * register-only CPU calibration below would overstate it. */
+  def memCalibration(threads: Int): Double = {
+    val unitsDone = new java.util.concurrent.atomic.AtomicLong()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val words = (32 << 20) / 8
+    val pool = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        val a = new Array[Long](words)
+        var i = 0
+        while (i < words) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+        var sink = 0L
+        while (!stop.get()) {
+          var j = 0
+          while (j < words) { sink += a(j); j += 1 }
+          unitsDone.incrementAndGet()
+        }
+        if (sink == 42L) println("")
+      })
+      th.start(); th
+    }
+    Thread.sleep(1500)
+    stop.set(true)
+    pool.foreach(_.join())
+    unitsDone.get() / 1.5
   }
 
   /** Pure-CPU hardware calibration: fixed integer workload on `threads`
@@ -137,7 +168,7 @@ object Bench {
     * they would be on real hardware, instead of leaking all host cores
     * into the "small cluster" run. Child prints one JSON line. */
   private def forkedBuild(cpus: Int, repeat: Int, benchRoot: String,
-                          sfDir: String): (Double, Long, Double) = {
+                          sfDir: String): (Double, Long, Double, Double) = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
     val inherited = rt.getInputArguments.toArray.map(_.toString).filter { a =>
@@ -146,9 +177,17 @@ object Bench {
     }
     // identical JVM config at every cluster size; ParallelGC + a fixed
     // moderate heap — large G1 heaps measurably destabilize the
-    // 32-thread run on this host (3-6× stage-time swings)
+    // 32-thread run on this host (3-6× stage-time swings). Heap is
+    // configurable (SPARK_GRAFT_CHILD_HEAP) and defaults to min(28g,
+    // 40% of host RAM) so smaller hosts don't swap/OOM asymmetrically.
+    val heap = sys.env.getOrElse("SPARK_GRAFT_CHILD_HEAP", {
+      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("MemTotal")).map(_.replaceAll("\\D+", "").toLong)
+        .getOrElse(64L << 20)
+      s"${math.min(28L, math.max(2L, kb * 2 / 5 / (1L << 20)))}g"
+    })
     val cmd = Seq(javaBin, s"-XX:ActiveProcessorCount=$cpus",
-      "-Xmx28g", "-XX:+UseParallelGC") ++ inherited ++
+      s"-Xmx$heap", "-XX:+UseParallelGC") ++ inherited ++
       Seq("-cp", sys.props("java.class.path"), "graft.Bench")
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_SCALING", "0")
@@ -177,7 +216,9 @@ object Bench {
     val n = """"docs":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
     val hw = """"hwUnitsPerSec":([0-9.]+)""".r.findFirstMatchIn(line)
       .map(_.group(1).toDouble).getOrElse(0.0)
-    (t, n, hw)
+    val hwMem = """"hwMemPerSec":([0-9.]+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toDouble).getOrElse(0.0)
+    (t, n, hw, hwMem)
   }
 
   def main(args: Array[String]): Unit = {
@@ -196,9 +237,10 @@ object Bench {
       // fixed shuffle partitioning (cluster-size independent); a pure-CPU
       // calibration of the SAME processor budget rides along
       val hw = cpuCalibration(cpus)
+      val hwMem = memCalibration(cpus)
       val spark = newSession(cpus, shufflePartitions = 64)
       val (t, n) = timedBuild(spark, sfDir, repeat, s"$benchRoot/scale$cpus")
-      println(f"""{"metric":"build","buildSec":$t%.3f,"docs":$n,"cpus":$cpus,"hwUnitsPerSec":$hw%.1f}""")
+      println(f"""{"metric":"build","buildSec":$t%.3f,"docs":$n,"cpus":$cpus,"hwUnitsPerSec":$hw%.1f,"hwMemPerSec":$hwMem%.1f}""")
       spark.stop()
       return
     }
@@ -222,12 +264,16 @@ object Bench {
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
       val hiRuns = (1 to reps).map(_ => forkedBuild(nHi, repeat, benchRoot, sfDir))
       val loRuns = (1 to reps).map(_ => forkedBuild(nLo, repeat, benchRoot, sfDir))
-      val (tHi, n, hwHi) = hiRuns.minBy(_._1)
-      val (tLo, _, hwLo) = loRuns.minBy(_._1)
+      val (tHi, n, hwHi, memHi) = hiRuns.minBy(_._1)
+      val (tLo, _, hwLo, memLo) = loRuns.minBy(_._1)
       val factor = nHi.toDouble / nLo
       val eff = (tLo / tHi) / factor
       val hwCeiling = (hwHi / hwLo) / factor
-      println(f"""{"metric":"scaling","value":$eff%.4f,"unit":"efficiency","docs":$n,"tLo":$tLo%.2f,"tHi":$tHi%.2f,"cpusLo":$nLo,"cpusHi":$nHi,"docsPerSecLo":${n / tLo}%.1f,"docsPerSecHi":${n / tHi}%.1f,"hwCeiling":$hwCeiling%.4f,"effVsHw":${eff / hwCeiling}%.4f,"repeat":$repeat,"sf":"$sfDir"}""")
+      // bandwidth ceiling: how much MORE streaming-memory throughput the
+      // host actually delivers at nHi threads vs nLo — the binding
+      // resource for an indexing build on one box (shared controller)
+      val memCeiling = if (memLo > 0) (memHi / memLo) / factor else 0.0
+      println(f"""{"metric":"scaling","value":$eff%.4f,"unit":"efficiency","docs":$n,"tLo":$tLo%.2f,"tHi":$tHi%.2f,"cpusLo":$nLo,"cpusHi":$nHi,"docsPerSecLo":${n / tLo}%.1f,"docsPerSecHi":${n / tHi}%.1f,"hwCeiling":$hwCeiling%.4f,"effVsHw":${eff / hwCeiling}%.4f,"hwMemCeiling":$memCeiling%.4f,"effVsMem":${if (memCeiling > 0) eff / memCeiling else 0.0}%.4f,"repeat":$repeat,"sf":"$sfDir"}""")
       return
     }
 
@@ -241,17 +287,31 @@ object Bench {
     val idx = graft.index.InvertedIndex.open(spark, s"$benchRoot/main$cpus").warm()
     val searcher = new Searcher(idx)
 
+    def median3(f: => Unit): Double = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(times.length / 2)
+    }
+
     // warm once (parquet footers, code paths), then measure
     querySet.foreach { case (_, q) => searcher.topK(q, 10).collect() }
     val perQuery = querySet.map { case (name, q) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        searcher.topK(q, 10).collect()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      results += name -> times(times.length / 2) // median
-      times(times.length / 2)
+      val m = median3(searcher.topK(q, 10).collect())
+      results += name -> m
+      m
     }
+
+    // index-sort early termination (the index sort is the url order):
+    // rank-by-docId top-10 via per-segment docId windows vs a full scan
+    graft.search.SortedRead.earlyTopK(idx, 10).collect() // warm
+    graft.search.SortedRead.fullScanTopK(idx, 10).collect()
+    results += "q11_sorted_early" ->
+      median3(graft.search.SortedRead.earlyTopK(idx, 10).collect())
+    results += "q12_sorted_fullscan" ->
+      median3(graft.search.SortedRead.fullScanTopK(idx, 10).collect())
     val sortedQ = perQuery.sorted
     val p50 = sortedQ(sortedQ.length / 2)
     val p99 = sortedQ.last

@@ -22,7 +22,7 @@ import graft.search.{Query, RelationalPath, Searcher, TermQ}
 object SparkEntry {
 
   /** Bump when the on-disk index format changes (stale caches rebuild). */
-  private val FormatVersion = "v4" // v4: termstats (tlen, cmask) fuzzy prefilter columns
+  private val FormatVersion = "v5" // v5: stored text column in docs (staged sorted corpus); v4: termstats (tlen, cmask)
 
   private val indexes = new ConcurrentHashMap[String, InvertedIndex]()
 
@@ -191,6 +191,16 @@ object SparkEntry {
     "tx_langid" -> ((s, d) => TextStats.langId(docsTable(s, d)).orderBy("doc_id")),
     "tx_fp_md5" -> ((s, d) => TextStats.md5Fingerprint(docsTable(s, d)).orderBy("doc_id")),
     "tx_fp_rolling" -> ((s, d) => TextStats.rollingFingerprint(docsTable(s, d)).orderBy("doc_id")),
+    // edge / char n-gram token filters (§2.2): per-doc gram counts —
+    // the DuckDB twin verifies via the counting identity over token
+    // lengths (edge grams = min(max,len)-min+1, char grams = len-n+1)
+    "tx_ngrams" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      docsTable(s, d).select(col("doc_id"),
+        size(graft.analysis.Analysis.edgeNgramsCol(toks, 2, 4)).cast("long").as("n_edge"),
+        size(graft.analysis.Analysis.charNgramsCol(toks, 3, 3)).cast("long").as("n_char3"))
+        .orderBy("doc_id")
+    }),
     // ---- similarity search over embeddings ----
     "ann_brute" -> ((s, d) => {
       val emb = tpch(s, d, "embeddings")
@@ -532,6 +542,12 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tx_fp_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "tx_ngrams" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |SELECT doc_id,
+        |  sum(CASE WHEN length(t) >= 2 THEN least(4, length(t)) - 1 ELSE 0 END)::BIGINT AS n_edge,
+        |  sum(CASE WHEN length(t) >= 3 THEN length(t) - 2 ELSE 0 END)::BIGINT AS n_char3
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // quality blend re-stated in SQL with the identical IEEE-double op
     // sequence; integer ppm output makes the hash comparison exact
     "tx_quality" ->

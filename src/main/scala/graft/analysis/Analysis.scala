@@ -200,6 +200,40 @@ object Analysis {
     if (stem) stemCol(base) else base
   }
 
+  // ---------- n-gram token filters (§2.2 P1) ----------
+
+  /** EdgeNGramTokenFilter analogue: leading char n-grams of each token,
+    * gram sizes minGram..maxGram ascending; tokens shorter than minGram
+    * emit nothing (preserveOriginal=false semantics)
+    * [U lucene/analysis/common/.../ngram/EdgeNGramTokenFilter.java]. */
+  def edgeNgrams(token: String, minGram: Int, maxGram: Int): Seq[String] =
+    (minGram to math.min(maxGram, token.length)).map(token.substring(0, _))
+
+  /** NGramTokenFilter analogue: all char n-grams, ordered gram-size
+    * then position [U lucene/analysis/common/.../ngram/NGramTokenFilter.java]. */
+  def charNgrams(token: String, minGram: Int, maxGram: Int): Seq[String] =
+    for {
+      n <- minGram to math.min(maxGram, token.length)
+      i <- 0 to token.length - n
+    } yield token.substring(i, i + n)
+
+  /** Column form of edgeNgrams over a token array — built-in
+    * higher-order functions only (codegen), flattened across tokens. */
+  def edgeNgramsCol(tokens: Column, minGram: Int, maxGram: Int): Column =
+    flatten(transform(
+      filter(tokens, t => length(t) >= minGram),
+      t => transform(sequence(lit(minGram), least(lit(maxGram), length(t))),
+        n => t.substr(lit(1), n))))
+
+  /** Column form of charNgrams over a token array (built-ins only). */
+  def charNgramsCol(tokens: Column, minGram: Int, maxGram: Int): Column =
+    flatten(transform(
+      filter(tokens, t => length(t) >= minGram),
+      t => flatten(
+        transform(sequence(lit(minGram), least(lit(maxGram), length(t))),
+          n => transform(sequence(lit(1), length(t) - n + 1),
+            i => t.substr(i, n))))))
+
   // ---------- char-normalization filters (§2.2 P1) ----------
 
   /** ASCIIFoldingFilter analogue

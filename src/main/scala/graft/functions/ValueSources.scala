@@ -58,13 +58,26 @@ object ValueSources {
     "ms" -> bin((a, b) => unix_millis(a) - unix_millis(b)),
     "strdist" -> bin((a, b) =>
       lit(1.0) - levenshtein(a, b) / greatest(length(a), length(b)).cast("double")),
-    "concat" -> (args => concat(args: _*)),
-    "ord" -> uni(x => dense_rank().over(
-      org.apache.spark.sql.expressions.Window.orderBy(x))))
+    "concat" -> (args => concat(args: _*)))
+    // NOTE: `ord` is deliberately NOT a Column in this registry — a
+    // column-level ordinal would be a no-partition Window (the corpus
+    // through one task). Use `ValueSources.ord(df, field)` below.
 
   /** Look up + apply a registered function. */
   def fn(name: String, args: Column*): Column =
     registry.getOrElse(name, sys.error(s"unknown function query: $name"))(args.toSeq)
+
+  /** `ord(field)` — the global ordinal of the field VALUE (Solr's
+    * OrdFieldSource reads docvalues ordinals). Ordinals are a property
+    * of the value DICTIONARY, so rank the distinct values (dictionary-
+    * sized — the only global sort, bounded by cardinality, never the
+    * corpus) and broadcast-join them back; appends `<field>_ord`. */
+  def ord(df: org.apache.spark.sql.DataFrame, field: String): org.apache.spark.sql.DataFrame = {
+    val dict = df.select(col(field).as("__v")).distinct()
+      .withColumn(s"${field}_ord", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__v"))))
+    df.join(broadcast(dict), df(field) === dict("__v"), "left").drop("__v")
+  }
 
   /** `scale(f, targetMin, targetMax)` given the field's global
     * (min, max) — min-max rescale, the Solr ScaleFloatFunction. */

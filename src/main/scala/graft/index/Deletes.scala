@@ -67,13 +67,17 @@ object Deletes {
 
     val tomb = tombstones(spark, dir).toDF("docId")
 
-    val newDocs = idx.docs.join(tomb, Seq("docId"), "left_anti")
+    // raw parquet (not idx.docs): the stored text column must survive
+    // compaction with the rest of the row
+    val newDocs = spark.read.parquet(s"$dir/docs")
+      .join(tomb, Seq("docId"), "left_anti")
     val stats = newDocs.agg(count(lit(1)), sum("dl").cast("long"))
       .as[(Long, Long)].head()
     val bm = graft.search.Bm25Stats(stats._1, stats._2)
     val bcStats = spark.sparkContext.broadcast(bm)
-    val blockSize = """"blockSize":\s*(\d+)""".r
-      .findFirstMatchIn(idx.manifest).map(_.group(1).toInt).getOrElse(128)
+    val blockSize = graft.util.Json.obj(graft.util.Json.parse(idx.manifest))
+      .get("config").map(c => graft.util.Json.long(graft.util.Json.obj(c)("blockSize")).toInt)
+      .getOrElse(128)
 
     val occurrences = idx.postings.flatMap { r =>
       r.blocks.iterator.flatMap { b =>
@@ -114,6 +118,16 @@ object Deletes {
     // write compacted tables to new dirs, then swap via manifest rewrite
     newPostings.toDF().write.mode("overwrite").parquet(s"$dir/postings2")
     newDocs.write.mode("overwrite").parquet(s"$dir/docs2")
+    // segments metadata MUST track the compacted docs: min/max stay
+    // correct but docIds are now SPARSE inside them, and the dense-
+    // prefix consumers (MatchAll docId-cutoff, early-terminating sorted
+    // reads) decide from nDocs == max-min+1 whether a segment is dense
+    spark.read.parquet(s"$dir/docs2").groupBy("segId")
+      .agg(count(lit(1)).as("nDocs"),
+        min("docId").as("minDocId"), max("docId").as("maxDocId"))
+      .select(col("segId").cast("int"), col("nDocs").cast("long"),
+        col("minDocId").cast("long"), col("maxDocId").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/segments2")
     // term stats from the JUST-WRITTEN compacted postings (columnar
     // term/df/ttf scan) — recomputing from newPostings would re-run the
     // whole explode→anti-join→re-block pipeline a second time
@@ -130,16 +144,19 @@ object Deletes {
       Files.move(Paths.get(dir, s"${name}2"), old)
       deleteRecursive(tmp)
     }
-    swap("postings"); swap("docs"); swap("termstats")
+    swap("postings"); swap("docs"); swap("termstats"); swap("segments")
     deleteRecursive(Paths.get(tombstonePath(dir)))
 
     val manifest = new String(Files.readAllBytes(Paths.get(dir, "manifest.json")))
-    val gen = """"generation":\s*(\d+)""".r.findFirstMatchIn(manifest)
-      .map(_.group(1).toLong).getOrElse(1L)
-    val updated = manifest
-      .replaceAll(""""generation":\s*\d+""", s""""generation": ${gen + 1}""")
-      .replaceAll(""""docCount":\s*\d+""", s""""docCount": ${bm.docCount}""")
-      .replaceAll(""""sumTotalTermFreq":\s*\d+""", s""""sumTotalTermFreq": ${bm.sumTotalTermFreq}""")
+    val m = graft.util.Json.obj(graft.util.Json.parse(manifest))
+    val gen = m.get("generation").map(graft.util.Json.long).getOrElse(1L)
+    val updated = graft.util.Json.write(m
+      .updated("generation", gen + 1)
+      .updated("docCount", bm.docCount)
+      .updated("sumTotalTermFreq", bm.sumTotalTermFreq)
+      // avgdl tracks the post-compaction stats (the regex rewrite used
+      // to leave it stale — informational, but keep it truthful)
+      .updated("avgdl", bm.sumTotalTermFreq.toDouble / math.max(1L, bm.docCount)))
     val tmp = Paths.get(dir, ".manifest.json.tmp")
     Files.write(tmp, updated.getBytes)
     Files.move(tmp, Paths.get(dir, "manifest.json"),

@@ -8,7 +8,6 @@ import scala.collection.mutable
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.analysis.Analysis
 import graft.model._
@@ -59,16 +58,7 @@ final case class IndexConfig(
       * [U lucene/core/.../index/DocumentsWriterFlushControl.java]) —
       * an oversized/skewed partition degrades to more runs instead of
       * OOMing; spills are doc-aligned so runs stay docId-disjoint. */
-    spimiSpillBytes: Long = 256L << 20,
-    /** Storage level for the url-partitioned corpus shared by the build
-      * stages. The partitioning MUST be materialized once (range-bound
-      * sampling is per-execution, so re-running the exchange could shift
-      * partition bounds between the counts pass and the docs pass):
-      * MEMORY_AND_DISK for small/medium corpora; DISK_ONLY (serialized,
-      * deserialization scales with cores) when the corpus would crowd
-      * the executor heap — the web-scale setting, and the one the
-      * scaling bench uses. */
-    inputCacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+    spimiSpillBytes: Long = 256L << 20)
 
 /** Batch inverted-index build (SURVEY.md §3.A):
   *
@@ -118,15 +108,15 @@ object IndexBuilder {
     val sortKey: org.apache.spark.sql.Column = cfg.sortKeySql
       .map(s => concat(expr(s), lit("|"), col("url")))
       .getOrElse(col("url"))
+    val bounds = keyRangeBounds(spark, pages, sortKey, cfg.numPartitions)
+    val bcBounds = spark.sparkContext.broadcast(bounds)
+    val pidOf = udf { (key: String) =>
+      val b = bcBounds.value
+      val i = java.util.Arrays.binarySearch(b.asInstanceOf[Array[AnyRef]], key)
+      if (i >= 0) i + 1 else -i - 1
+    }
     val parted: Dataset[(String, String, String, java.sql.Timestamp)] = {
       val base = pages.select(col("url"), col("lang"), col("text"), col("warc_ts"))
-      val bounds = keyRangeBounds(spark, pages, sortKey, cfg.numPartitions)
-      val bcBounds = spark.sparkContext.broadcast(bounds)
-      val pidOf = udf { (key: String) =>
-        val b = bcBounds.value
-        val i = java.util.Arrays.binarySearch(b.asInstanceOf[Array[AnyRef]], key)
-        if (i >= 0) i + 1 else -i - 1
-      }
       // partition-index preimages: route pid p to hash-partition p
       val pre = hashPreimages(spark, cfg.numPartitions)
       base
@@ -137,17 +127,29 @@ object IndexBuilder {
         .drop("__gbucket", "__gkey")
         .as[(String, String, String, java.sql.Timestamp)]
     }
-    parted.persist(cfg.inputCacheLevel)
 
-    // docId = row_number over url order, computed scalably: per-partition
-    // counts + prefix-sum offsets on the driver (O(partitions) driver
-    // state — never O(rows); a single Window would serialize the build).
+    // docId = row_number over sort-key order, computed scalably: exact
+    // per-partition counts from a COLUMN-PRUNED key-only scan of the
+    // source (deterministic routing ⇒ the count of keys routed to p is
+    // the count of rows in p), then prefix-sum offsets on the driver
+    // (O(partitions) state — never O(rows); a Window would serialize
+    // the build). The full-width corpus is never cached: the ONE
+    // shuffle lands in the docs stage, whose parquet output (WITH the
+    // stored text column) doubles as the staged sorted corpus the
+    // postings stage scans back column-pruned + compressed — no cache
+    // tier, no second shuffle.
     val tCounts = System.nanoTime()
-    val counts: Array[Long] =
-      parted.mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+    val counts: Array[Long] = {
+      val arr = new Array[Long](cfg.numPartitions)
+      pages.select(sortKey.as("k"))
+        .groupBy(pidOf(col("k")).as("pid")).count()
+        .collect()
+        .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
     stageSec += "counts" -> (System.nanoTime() - tCounts) / 1e9
     if (sys.env.contains("GRAFT_PROFILE"))
-      println(f"[build] counts+materialize ${(System.nanoTime() - tCounts) / 1e9}%.2f s")
+      println(f"[build] counts (key-only scan) ${(System.nanoTime() - tCounts) / 1e9}%.2f s")
     val offsets: Array[Long] = counts.scanLeft(cfg.docIdBase)(_ + _)
     val docCount = counts.sum
     val bcOffsets = spark.sparkContext.broadcast(offsets)
@@ -158,7 +160,10 @@ object IndexBuilder {
     val stem = cfg.stem
     val syn = cfg.synonyms
 
-    // ---- docs table (norms) — allocation-free token COUNT pass --------
+    // ---- docs table (norms + STORED text) — the build's only full-width
+    // shuffle; its parquet output is both the docs/norms table and the
+    // staged sorted corpus (stored-fields .fdt analogue). Token COUNT
+    // pass is allocation-free.
     val docsPath = s"$dir/docs"
     runStage(docsPath, stageSec) {
       parted.mapPartitions { it =>
@@ -176,8 +181,8 @@ object IndexBuilder {
             if (fastCount) Analysis.countTokens(text, maxLen)
             else Analysis.analyze(text, stopSet, maxLen, stem, syn).length
           val norm = SmallFloat.intToByte4(dl)
-          DocRow(segId, off + i, url, lang, dl, norm,
-            SmallFloat.byte4ToInt(norm), ts)
+          StagedDoc(segId, off + i, url, lang, dl, norm,
+            SmallFloat.byte4ToInt(norm), ts, text)
         }
       }.toDF()
         .write.mode("overwrite").parquet(docsPath)
@@ -199,14 +204,15 @@ object IndexBuilder {
       Bm25Stats(stats0.docCount, stats0.sumTotalTermFreq))
 
     // ---- hot-term detection from a deterministic url-hash sample ------
+    // reads the SOURCE column-pruned (url, text) — no shuffle, no cache
     val tHot = System.nanoTime()
     val hotTerms: Set[String] = {
       val buckets = 1 << 16
       val keep = math.max(1L, (cfg.hotSampleRate * buckets).toLong)
+      val src = pages.toDF().select(col("url"), col("text"))
       val sampled =
-        if (cfg.hotSampleRate >= 1.0) parted.toDF("url", "lang", "text", "ts")
-        else parted.toDF("url", "lang", "text", "ts")
-          .filter(pmod(xxhash64(col("url")), lit(buckets)) < lit(keep))
+        if (cfg.hotSampleRate >= 1.0) src
+        else src.filter(pmod(xxhash64(col("url")), lit(buckets)) < lit(keep))
       val scale = 1.0 / math.min(1.0, keep.toDouble / buckets)
       sampled
         .select(explode(array_distinct(
@@ -230,11 +236,15 @@ object IndexBuilder {
     val postingsPath = s"$dir/postings"
     val spillBytes = cfg.spimiSpillBytes
     runStage(postingsPath, stageSec) {
-      parted.mapPartitions { it =>
-        spimi(it, TaskContext.getPartitionId(), bcOffsets.value, partsPerSeg,
-          segBase, bcHot.value, numSalts, stopSet, maxLen, stem, syn,
-          spillBytes)
-      }
+      // the staged sorted corpus comes back as a column-pruned (docId,
+      // text) parquet scan — compressed, splittable, NO second shuffle
+      // and no cache tier; segId/salt are recovered from docId via the
+      // broadcast offsets, so any split/bin-packing task layout works
+      docsDf.select(col("docId"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          spimi(it, bcOffsets.value, partsPerSeg, segBase, bcHot.value,
+            numSalts, stopSet, maxLen, stem, syn, spillBytes)
+        }
         // HASH partition on the merge key: colocation + the in-partition
         // sort below is all mergeRuns needs, and unlike repartitionByRange
         // there is no range-sampling pass (which would re-execute the
@@ -276,8 +286,6 @@ object IndexBuilder {
         .as[SegmentInfo].toDF()
         .coalesce(1).write.mode("overwrite").parquet(segsPath)
     }
-
-    parted.unpersist()
 
     // ---- atomic manifest commit (segments_N analogue): temp + rename --
     val segInfos = spark.read.parquet(segsPath).as[SegmentInfo].collect()
@@ -359,7 +367,16 @@ object IndexBuilder {
     * routes a row to EXACTLY partition p (hash partitioning with chosen
     * preimages ≡ explicit partitioner, no RDD API needed). Driver-local:
     * HashPartitioning's id expression is pmod(Murmur3(expr, seed=42), n)
-    * and Spark's Murmur3 of a LongType is Murmur3_x86_32.hashLong. */
+    * and Spark's Murmur3 of a LongType is Murmur3_x86_32.hashLong.
+    *
+    * Because this couples docId assignment to a Spark INTERNAL hashing
+    * detail, a probe Dataset is routed through a real `repartition`
+    * once per (session, parts) and every row must land on its intended
+    * TaskContext partition — a Spark version that changes the hash
+    * contract fails FAST here instead of silently scrambling docIds. */
+  private val probedPreimages =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+
   private def hashPreimages(spark: SparkSession, parts: Int): Array[Long] = {
     val out = new Array[Long](parts)
     val seen = new Array[Boolean](parts)
@@ -370,6 +387,20 @@ object IndexBuilder {
       val p = ((h % parts) + parts) % parts
       if (!seen(p)) { seen(p) = true; out(p) = v; found += 1 }
       v += 1
+    }
+    if (probedPreimages.add((spark.sparkContext.applicationId, parts))) {
+      import spark.implicits._
+      val misrouted = spark
+        .createDataset(out.toSeq.zipWithIndex.map { case (pre, p) => (p, pre) })
+        .repartition(parts, col("_2"))
+        .mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          it.filter(_._1 != pid)
+        }.count()
+      require(misrouted == 0L,
+        s"hash-preimage routing contract drifted (Murmur3 seed-42 pmod): " +
+          s"$misrouted/$parts probes misrouted — Spark's HashPartitioning " +
+          "expression changed; docId assignment would be scrambled")
     }
     out
   }
@@ -389,36 +420,50 @@ object IndexBuilder {
         println(f"[build] ${Paths.get(path).getFileName} $sec%.2f s")
     }
 
-  /** SPIMI in-memory inversion of one partition (≈ one
-    * DocumentsWriterPerThread), fused with docId assignment and salt
-    * tagging. Docs arrive in docId order, so per-term postings are
-    * built already sorted. When the byte-pool exceeds `spillBytes` the
-    * partial map is emitted as sorted runs and cleared (the DWPT
-    * flush-at-RAM-budget analogue); spills happen at doc boundaries so
-    * runs of one term have disjoint ascending docId ranges, which is
-    * exactly what `mergeRuns` already concatenates. */
-  private def spimi(docs: Iterator[(String, String, String, java.sql.Timestamp)], pid: Int,
+  /** Which original sort-partition a docId belongs to: the p with
+    * offsets(p) ≤ d < offsets(p+1) (empty partitions have equal
+    * consecutive offsets and can never contain d). */
+  private def partOf(offsets: Array[Long], d: Long): Int = {
+    var i = java.util.Arrays.binarySearch(offsets, d)
+    if (i < 0) i = -i - 2
+    else while (i + 1 < offsets.length && offsets(i + 1) <= d) i += 1
+    i
+  }
+
+  /** SPIMI in-memory inversion over the staged sorted corpus (≈ one
+    * DocumentsWriterPerThread), reading (docId, text) rows. segId and
+    * salt derive from docId via the broadcast offsets, so the input may
+    * arrive under ANY task layout (parquet splits, bin-packed files):
+    * the map flushes as term-sorted runs whenever the (segId, salt)
+    * context changes, docIds go backwards (a new file chunk), or the
+    * byte-pool exceeds `spillBytes` (the DWPT flush-at-RAM-budget
+    * analogue [U lucene/core/.../index/DocumentsWriterFlushControl.java]).
+    * Every run is docId-ascending and runs of one (segId, term, salt)
+    * have disjoint ranges — exactly what `mergeRuns` concatenates. */
+  private def spimi(docs: Iterator[(Long, String)],
                     offsets: Array[Long], partsPerSeg: Int, segBase: Int,
                     hot: Set[String], numSalts: Int,
                     stopSet: Set[String], maxLen: Int,
                     stem: Boolean = false,
                     syn: Map[String, String] = Map.empty,
                     spillBytes: Long = Long.MaxValue): Iterator[Run] = {
-    val segId = segBase + pid / partsPerSeg
-    val salt = (pid % partsPerSeg) * numSalts / partsPerSeg
+    val taskId = TaskContext.getPartitionId()
     val perDoc = new java.util.HashMap[String, mutable.ArrayBuilder.ofInt]()
 
     new Iterator[Run] {
       private var inv = new java.util.HashMap[String, PostingsBuf]()
       private var poolBytes = 0L
-      private var docId = offsets(pid) - 1L
       private var cur: Iterator[Run] = Iterator.empty
       private var exhausted = false
+      private var pending: (Long, String) = null
+      private var curPart = Int.MinValue
+      private var curSegId = Int.MinValue
+      private var curSalt = 0
+      private var lastDocId = Long.MinValue
 
-      private def ingest(row: (String, String, String, java.sql.Timestamp)): Unit = {
-        docId += 1
+      private def ingest(docId: Long, text: String): Unit = {
         perDoc.clear()
-        val tokens = Analysis.analyze(row._3, stopSet, maxLen, stem, syn)
+        val tokens = Analysis.analyze(text, stopSet, maxLen, stem, syn)
         var pos = 0
         while (pos < tokens.length) {
           val t = tokens(pos)
@@ -428,7 +473,6 @@ object IndexBuilder {
           pos += 1
         }
         val norm = SmallFloat.intToByte4(tokens.length)
-        val d = docId
         perDoc.forEach { (term, posB) =>
           var buf = inv.get(term)
           if (buf == null) {
@@ -437,7 +481,7 @@ object IndexBuilder {
             poolBytes += 64L + 2L * term.length // entry + key overhead
           }
           val before = buf.sizeBytes
-          buf.add(d, posB.result(), norm)
+          buf.add(docId, posB.result(), norm)
           poolBytes += buf.sizeBytes - before
         }
       }
@@ -447,13 +491,15 @@ object IndexBuilder {
         if (inv.isEmpty) Iterator.empty
         else {
           val flushed = inv
+          val segId = curSegId
+          val salt = curSalt
           inv = new java.util.HashMap[String, PostingsBuf]()
           poolBytes = 0L
           val terms = flushed.keySet().toArray(new Array[String](0))
           java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
           terms.iterator.map { term =>
             val buf = flushed.get(term)
-            Run(pid, segId, term, if (hot.contains(term)) salt else 0,
+            Run(taskId, segId, term, if (hot.contains(term)) salt else 0,
               buf.firstDocId, buf.count,
               buf.docsEncoded, buf.tfsEncoded, buf.norms, buf.positionsEncoded)
           }
@@ -461,9 +507,35 @@ object IndexBuilder {
       }
 
       def hasNext: Boolean = {
-        while (!cur.hasNext && !exhausted) {
-          while (docs.hasNext && poolBytes < spillBytes) ingest(docs.next())
-          if (!docs.hasNext) exhausted = true
+        while (!cur.hasNext && !(exhausted && pending == null && inv.isEmpty)) {
+          var stopFill = false
+          while (!stopFill) {
+            if (pending == null) {
+              if (docs.hasNext) pending = docs.next()
+              else { exhausted = true; stopFill = true }
+            }
+            if (pending != null) {
+              val (d, t) = pending
+              val p = partOf(offsets, d)
+              // flush at PARTITION boundaries (not just segId/salt
+              // changes): a task that packs non-adjacent files would
+              // otherwise emit one run whose docId INTERVAL spans
+              // another task's partition — runs of one (segId, term,
+              // salt) must be non-interleaved intervals or the merge's
+              // firstDocId-ordered concatenation goes non-ascending
+              if (!inv.isEmpty &&
+                (p != curPart || d < lastDocId ||
+                  poolBytes >= spillBytes)) stopFill = true
+              else {
+                curPart = p
+                curSegId = segBase + p / partsPerSeg
+                curSalt = (p % partsPerSeg) * numSalts / partsPerSeg
+                lastDocId = d
+                ingest(d, t)
+                pending = null
+              }
+            }
+          }
           cur = flushRuns()
         }
         cur.hasNext

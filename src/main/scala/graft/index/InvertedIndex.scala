@@ -35,11 +35,9 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
 
   /** Collection stats from the manifest — no job needed at query time. */
   val stats: Bm25Stats = {
-    def long(k: String): Long =
-      ("\"" + k + "\":\\s*(\\d+)").r.findFirstMatchIn(manifest)
-        .map(_.group(1).toLong)
-        .getOrElse(sys.error(s"manifest missing $k"))
-    Bm25Stats(long("docCount"), long("sumTotalTermFreq"))
+    val m = graft.util.Json.obj(graft.util.Json.parse(manifest))
+    Bm25Stats(graft.util.Json.long(m("docCount")),
+      graft.util.Json.long(m("sumTotalTermFreq")))
   }
 
   @volatile private var cached
@@ -48,8 +46,20 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
   def postings: Dataset[PostingsRow] = cached.map(_._1)
     .getOrElse(spark.read.parquet(s"$dir/postings").as[PostingsRow])
 
+  /** DocRow columns of the docs table (the stored `text` field is
+    * explicitly pruned — readers that want it use `storedFields`). */
+  private def docRowCols(df: DataFrame): Dataset[DocRow] =
+    df.select("segId", "docId", "url", "lang", "dl", "norm", "dlq", "ts")
+      .as[DocRow]
+
   def docs: Dataset[DocRow] = cached.map(_._2)
-    .getOrElse(spark.read.parquet(s"$dir/docs").as[DocRow])
+    .getOrElse(docRowCols(spark.read.parquet(s"$dir/docs")))
+
+  /** Stored fields (docId, url, text) — the .fdt analogue; the text
+    * column lives in the docs parquet but is column-pruned away from
+    * every scoring path. */
+  def storedFields: DataFrame =
+    spark.read.parquet(s"$dir/docs").select("docId", "url", "text")
 
   def termStats: DataFrame = cached.map(_._3)
     .getOrElse(spark.read.parquet(s"$dir/termstats"))
@@ -65,6 +75,13 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
         .as[graft.model.SegmentInfo].collect().sortBy(_.segId))
     segInfos.get
   }
+
+  /** Whether every segment's docIds form a gap-free range — the
+    * precondition for dense-prefix reads (MatchAll docId-cutoff,
+    * early-terminating sorted top-k). False after a compaction has
+    * punched holes into the docId space. */
+  def segmentsDense: Boolean =
+    segments.forall(s => s.nDocs == s.maxDocId - s.minDocId + 1)
 
   override def hasDeletes: Boolean = Deletes.hasTombstones(dir)
   override def tombstones: Dataset[java.lang.Long] = Deletes.tombstones(spark, dir)
@@ -107,7 +124,7 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
   def warm(): InvertedIndex = {
     if (cached.isEmpty) {
       val p = spark.read.parquet(s"$dir/postings").as[PostingsRow].persist()
-      val d = spark.read.parquet(s"$dir/docs").as[DocRow].persist()
+      val d = docRowCols(spark.read.parquet(s"$dir/docs")).persist()
       val t = spark.read.parquet(s"$dir/termstats").persist()
       p.count(); d.count(); t.count()
       cached = Some((p, d, t))

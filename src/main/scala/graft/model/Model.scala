@@ -27,6 +27,24 @@ final case class DocRow(
     dlq: Int,
     ts: java.sql.Timestamp)
 
+/** docs-table row AS WRITTEN (DocRow + the stored `text` field — the
+  * .fdt stored-fields analogue [U lucene/core/.../codecs/
+  * compressing/CompressingStoredFieldsFormat.java]): the staged,
+  * sort-ordered corpus IS the docs table, so the postings stage reads
+  * (docId, text) back as a column-pruned parquet scan instead of a
+  * second shuffle or a cache-tier round-trip, and readers that don't
+  * need text never touch it (columnar pruning). */
+final case class StagedDoc(
+    segId: Int,
+    docId: Long,
+    url: String,
+    lang: String,
+    dl: Int,
+    norm: Byte,
+    dlq: Int,
+    ts: java.sql.Timestamp,
+    text: String)
+
 /** One 128-entry postings block: delta-varint docIds, varint tfs, raw
   * norm bytes, per-doc delta-varint positions; block-max metadata
   * (maxTf + minNorm give a float-monotone-safe score upper bound;

@@ -169,9 +169,22 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
         else idx.docs.withColumn("del", lit(false))
       // pre-filter: only rows that can influence scoring travel to the
       // cogroup — any referenced predicate true, or tombstoned (full
-      // rows only for MatchAll, which genuinely needs every doc)
+      // rows only for MatchAll, which needs every doc in general; a
+      // PURE constant-score match-all with k > 0 additionally cuts to
+      // the first k docIds per segment — rank is docId order, so the
+      // per-segment top-k is exactly the segment's lowest k live ids)
+      val matchAllCutoff: Option[org.apache.spark.sql.Column] = q match {
+        case MatchAllQ | ConstScoreQ(MatchAllQ, _) if kk > 0 && !idx.hasDeletes =>
+          idx match {
+            case inv: graft.index.InvertedIndex if inv.segmentsDense =>
+              Some(inv.segments.map(s => col("docId").between(s.minDocId,
+                math.min(s.maxDocId, s.minDocId + kk - 1))).reduce(_ || _))
+            case _ => None
+          }
+        case _ => None
+      }
       val needed =
-        if (hasMatchAll) lit(true)
+        if (hasMatchAll) matchAllCutoff.getOrElse(lit(true))
         else (predCols :+ col("del")).reduce(_ || _)
       val docsLite = withDel
         .filter(needed)

@@ -23,6 +23,10 @@ object SortedRead {
 
   /** Top-k docs in index-sort order: (rank, doc_id). */
   def earlyTopK(idx: InvertedIndex, k: Int): DataFrame = {
+    // gaps inside a segment (post-compaction) make "first k ids" ≠
+    // "ids in [min, min+k)" — metadata can't bound the kth live id,
+    // so fall back to the exact full scan
+    if (!idx.segmentsDense) return fullScanTopK(idx, k)
     val rel = new RelationalPath(idx)
     // deleted docs inside a window would push the kth live doc past it;
     // widening by the (bounded) tombstone count keeps this exact

@@ -41,15 +41,59 @@ object StreamingIndexer {
     if (!Files.exists(p)) Seq.empty
     else {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      """\{"gen":(\d+),"docs":(\d+)(?:,"segs":(\d+))?\}""".r.findAllMatchIn(s)
-        .map(m => (m.group(1).toLong, m.group(2).toLong,
-          Option(m.group(3)).map(_.toLong).getOrElse(0L))).toSeq
+      graft.util.Json.arr(graft.util.Json.parse(s)).map { v =>
+        val m = graft.util.Json.obj(v)
+        (graft.util.Json.long(m("gen")), graft.util.Json.long(m("docs")),
+          m.get("segs").map(graft.util.Json.long).getOrElse(0L))
+      }
     }
+  }
+
+  private def tlogDir(dir: String, genId: Long) = s"$dir/tlog/gen-$genId"
+
+  /** Update-log write for one batch (idempotent) — the tlog the
+    * realtime-get path reads [U solr/core/.../update/TransactionLog.java]:
+    * raw stored fields land BEFORE the generation's index build, so a
+    * key lookup sees in-flight (uncommitted) docs. html is dropped —
+    * the tlog carries the stored fields a /get returns. */
+  def writeTlog(spark: SparkSession, batch: Dataset[Page], dir: String,
+                genId: Long): Unit = {
+    val p = tlogDir(dir, genId)
+    if (!Files.exists(Paths.get(p, "_SUCCESS")))
+      batch.toDF().drop("html")
+        .withColumn("genId", lit(genId))
+        .write.mode("overwrite").parquet(p)
+  }
+
+  /** Realtime-get: latest version per url by (warc_ts, genId) across
+    * ALL tlogs — including generations whose index build has not
+    * committed yet (the RealTimeGetComponent contract
+    * [U solr/core/.../handler/component/RealTimeGetComponent.java]).
+    * `committed` marks whether the row's generation is searchable.
+    * The url IN-filter pushes into the tlog parquet scan; the LWW
+    * window runs over the ≤|urls|·generations survivors only. At the
+    * reference's scale tlogs rotate away below the commit floor — here
+    * they accumulate (test corpora; documented trade). */
+  def realtimeGet(spark: SparkSession, dir: String, urls: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(dir, "tlog")
+    require(Files.exists(base), s"no tlog under $dir")
+    val dirs = Files.list(base).iterator().asScala.map(_.toString)
+      .filter(p => Files.exists(Paths.get(p, "_SUCCESS"))).toSeq.sorted
+    val committed = generations(dir).map(_._1)
+    val w = Window.partitionBy("url").orderBy(desc("warc_ts"), desc("genId"))
+    spark.read.parquet(dirs: _*)
+      .filter(col("url").isin(urls: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("committed",
+        if (committed.isEmpty) lit(false) else col("genId").isin(committed: _*))
   }
 
   /** Append one micro-batch as a new generation (idempotent on replay). */
   def appendGeneration(spark: SparkSession, batch: Dataset[Page], dir: String,
                        genId: Long, cfg: IndexConfig): Unit = {
+    writeTlog(spark, batch, dir, genId) // tlog first: /get sees in-flight docs
     val gens = generations(dir)
     if (gens.exists(_._1 == genId)) return // replayed batch — committed
     val docIdBase = gens.map(_._2).sum
@@ -130,7 +174,9 @@ final class GenerationalIndex(val spark: SparkSession, dir: String) extends Inde
     spark.read.parquet(genDirs.map(d => s"$d/postings"): _*).as[PostingsRow]
 
   def docs: Dataset[DocRow] =
-    spark.read.parquet(genDirs.map(d => s"$d/docs"): _*).as[DocRow]
+    spark.read.parquet(genDirs.map(d => s"$d/docs"): _*)
+      .select("segId", "docId", "url", "lang", "dl", "norm", "dlq", "ts")
+      .as[DocRow]
 
   /** Union df/ttf — aggregated across generations (exact). */
   def termStats: DataFrame =

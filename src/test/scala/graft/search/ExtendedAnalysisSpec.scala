@@ -88,6 +88,29 @@ class ExtendedAnalysisSpec extends SparkSpec {
       === oracle.matching(PhraseQ(Seq("ml", "models"))).toArray)
   }
 
+  test("edge / char n-gram filters: goldens + Column ≡ Scala mirror") {
+    import graft.analysis.Analysis
+    assert(Analysis.edgeNgrams("spark", 2, 4) === Seq("sp", "spa", "spar"))
+    assert(Analysis.edgeNgrams("a", 2, 4) === Seq.empty)
+    assert(Analysis.edgeNgrams("ab", 2, 4) === Seq("ab"))
+    assert(Analysis.charNgrams("spark", 3, 3) === Seq("spa", "par", "ark"))
+    assert(Analysis.charNgrams("ab", 3, 3) === Seq.empty)
+    assert(Analysis.charNgrams("abcd", 2, 3) ===
+      Seq("ab", "bc", "cd", "abc", "bcd"))
+    // the codegen'd Column form agrees with the Scala mirror
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("spark merge a window").toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+    val gotEdge = df.select(Analysis.edgeNgramsCol(col("toks"), 2, 4))
+      .as[Seq[String]].head()
+    val gotChar = df.select(Analysis.charNgramsCol(col("toks"), 3, 3))
+      .as[Seq[String]].head()
+    val toks = Seq("spark", "merge", "a", "window")
+    assert(gotEdge === toks.flatMap(Analysis.edgeNgrams(_, 2, 4)))
+    assert(gotChar === toks.flatMap(Analysis.charNgrams(_, 3, 3)))
+  }
+
   test("char-normalization filters: asciiFold, mapping, patternReplace") {
     assert(Analysis.asciiFold("Café Münchén") === "Cafe Munchen")
     assert(Analysis.asciiFold("œuvre straße Łódź") === "oeuvre strasse Lodz")

@@ -121,6 +121,31 @@ class StreamingSpec extends SparkSpec {
         .endsWith("0001")).count() === 1)
   }
 
+  test("realtime-get: tlog lookup sees uncommitted docs, LWW across gens") {
+    val dir = Files.createTempDirectory("graft-rtg").toString
+    import spark.implicits._
+    val cfg = IndexConfig(numPartitions = 2, partsPerSegment = 1)
+    // tlog written, generation NOT committed: /get sees it, search can't
+    StreamingIndexer.writeTlog(spark, batch1.toDS(), dir, 0L)
+    val inflight = StreamingIndexer.realtimeGet(spark, dir, Seq("https://s/0001"))
+      .collect()
+    assert(inflight.length === 1)
+    assert(inflight.head.getAs[String]("text") === "spark spark batch")
+    assert(!inflight.head.getAs[Boolean]("committed"))
+    // commit — same lookup now reports committed (searchable)
+    StreamingIndexer.appendGeneration(spark, batch1.toDS(), dir, 0L, cfg)
+    assert(StreamingIndexer.realtimeGet(spark, dir, Seq("https://s/0001"))
+      .collect().head.getAs[Boolean]("committed"))
+    // a NEWER uncommitted version wins the LWW lookup
+    StreamingIndexer.writeTlog(spark,
+      Seq(page(1, "rtg fresh text", "2025-10-26 00:00:00")).toDS(), dir, 1L)
+    val latest = StreamingIndexer.realtimeGet(spark, dir, Seq("https://s/0001"))
+      .collect()
+    assert(latest.length === 1)
+    assert(latest.head.getAs[String]("text") === "rtg fresh text")
+    assert(!latest.head.getAs[Boolean]("committed"))
+  }
+
   test("within-batch duplicate urls collapse last-writer-wins") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     import spark.implicits._
