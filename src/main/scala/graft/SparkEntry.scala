@@ -147,6 +147,39 @@ object SparkEntry {
       graft.search.EDisMax.topK(
         Seq(index(s, d) -> 2.0, urlIndex(s, d) -> 1.0), p, 10)
     }),
+    // [explain] DocTransformer (§2.11): per-(hit, term) BM25 breakdown
+    // — tf/df/dlq are the complete INTEGER inputs of each contribution
+    "ir_q31_explain" -> ((s, d) => {
+      val hits = rel(s, d).orTopK(Seq("spark", "merge"), 1, 10)
+      graft.search.DocTransformers.explainRows(
+        index(s, d), hits, Seq("spark", "merge"))
+    }),
+    // ngram-INDEXED suggester (AnalyzingInfixSuggester shape): lookup is
+    // an equality on the materialized gram table, not a dictionary scan
+    "ir_q32_suggest_ngram" -> ((s, d) => {
+      val dir = s"/root/repo/target/gindex/$FormatVersion/" +
+        d.replaceAll("[^A-Za-z0-9.]+", "_") + "-suggest"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+        graft.search.Suggest.buildNgramIndex(index(s, d), dir)
+      graft.search.Suggest.suggestNgram(s, dir, "sp", 10)
+    }),
+    // term vectors (P2): per-doc mini-index from stored fields
+    "ir_q33_termvectors" -> ((s, d) => {
+      val docPred = element_at(split(col("url"), "/"), -1).cast("long") < 5
+      graft.search.TermVectors.forDocs(index(s, d), docPred)
+        .withColumn("doc_id", element_at(split(col("url"), "/"), -1).cast("long"))
+        .select("doc_id", "term", "tf", "first_pos", "last_pos")
+        .orderBy("doc_id", "term")
+    }),
+    // LTR linear re-rank (P2): top-30 base candidates rescored by
+    // w·(base score, dl, dlq) in documented IEEE fold order
+    "ir_q34_ltr" -> ((s, d) => {
+      val model = graft.search.Ltr.LinearModel(
+        Seq("base" -> col("s"), "dl" -> col("dl").cast("double"),
+          "dlq" -> col("dlq").cast("double")),
+        Seq(1.0, 0.001, -0.0005))
+      graft.search.Ltr.rescore(index(s, d), Seq("spark", "merge"), 30, 10, model)
+    }),
     // span/interval proximity (§2.4 P2 row): ordered + unordered near
     "ir_q26_spannear" -> ((s, d) =>
       rel(s, d).spanNearDocs(Seq("spark", "merge"), slop = 3, inOrder = true)),
@@ -461,6 +494,53 @@ object SparkEntry {
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
           |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // [explain] twin: the top-10 OR hits, one row per (hit, matched
+    // term) with the integer explanation payload (tf, df, dlq)
+    "ir_q31_explain" ->
+      (bm25Cte +
+        """, sel AS (SELECT doc_id, sum(score) AS s FROM scored
+          |    WHERE term IN ('spark','merge') GROUP BY doc_id HAVING count(*) >= 1),
+          |top AS (SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+          |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
+          |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
+          |  WHERE rank <= 10)
+          |SELECT top.rank, top.doc_id, t.term, t.tf, f.df, q.dlq
+          |FROM top JOIN tf t USING (doc_id) JOIN dfs f USING (term)
+          |  JOIN dlq q ON q.doc_id = top.doc_id
+          |WHERE t.term IN ('spark','merge')
+          |ORDER BY rank, term""".stripMargin),
+    // ngram-suggester twin: the suggestions must equal the plain
+    // dictionary prefix scan (the materialized gram table is an index,
+    // not a semantic change)
+    "ir_q32_suggest_ngram" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)
+        |SELECT term, df FROM dfs WHERE term LIKE 'sp%'
+        |ORDER BY df DESC, term ASC LIMIT 10""".stripMargin,
+    // term-vectors twin: per-(doc, term) tf + 0-based position span
+    "ir_q33_termvectors" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents WHERE doc_id < 5)
+        |SELECT doc_id, term, count(*)::BIGINT AS tf,
+        |  (min(pos) - 1)::BIGINT AS first_pos, (max(pos) - 1)::BIGINT AS last_pos
+        |FROM tok GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+    // LTR twin: top-30 OR candidates (engine tie-break), linear model
+    // 1.0·s + 0.001·dl + (−0.0005)·dlq in the same left-fold order
+    "ir_q34_ltr" ->
+      (bm25Cte +
+        """, sel AS (SELECT doc_id, sum(score) AS s FROM scored
+          |    WHERE term IN ('spark','merge') GROUP BY doc_id),
+          |cand AS (SELECT doc_id, s, src FROM (
+          |  SELECT sel.doc_id, sel.s, d.source AS src,
+          |    row_number() OVER (ORDER BY sel.s DESC, d.source ASC, sel.doc_id ASC) AS rn
+          |  FROM sel JOIN documents d USING (doc_id)) WHERE rn <= 30),
+          |feat AS (SELECT c.doc_id, c.src,
+          |    1.0 * c.s + 0.001 * l.dl + -0.0005 * q.dlq AS ltr
+          |  FROM cand c JOIN dl l USING (doc_id) JOIN dlq q ON q.doc_id = c.doc_id)
+          |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+          |  SELECT row_number() OVER (ORDER BY ltr DESC, src ASC, doc_id ASC) AS rank, doc_id
+          |  FROM feat) WHERE rank <= 10 ORDER BY rank""".stripMargin),
     "dd_exact" ->
       """SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

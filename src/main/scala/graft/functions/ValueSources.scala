@@ -56,6 +56,21 @@ object ValueSources {
     "map" -> { case Seq(x, mn, mx, target) =>
       when(x.between(mn, mx), target).otherwise(x) },
     "ms" -> bin((a, b) => unix_millis(a) - unix_millis(b)),
+    "linear" -> { case Seq(x, m, c) => m * x + c },
+    "recip" -> { case Seq(x, m, a, b) => a / (m * x + b) },
+    // geodist(lat1,lon1,lat2,lon2) — haversine great-circle distance in
+    // km (Solr's HaversineConstFunction / geodist() over LatLonPoint
+    // [U solr/core/.../search/function/distance/HaversineConstFunction.java,
+    // lucene/core/.../document/LatLonPoint.java]; SURVEY.md P2 geo row) —
+    // pure codegen Column trig, no UDF
+    "geodist" -> { case Seq(lat1, lon1, lat2, lon2) =>
+      val r = lit(6371.0087714) // mean earth radius km (GEO_MEAN_RADIUS)
+      val dLat = radians(lat2 - lat1) / 2.0
+      val dLon = radians(lon2 - lon1) / 2.0
+      val h = pow(sin(dLat), 2.0) +
+        cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2.0)
+      lit(2.0) * r * asin(sqrt(h))
+    },
     "strdist" -> bin((a, b) =>
       lit(1.0) - levenshtein(a, b) / greatest(length(a), length(b)).cast("double")),
     "concat" -> (args => concat(args: _*)))

@@ -23,6 +23,40 @@ object Suggest {
       .orderBy(desc("df"), asc("term"))
       .limit(k)
 
+  /** AnalyzingInfixSuggester analogue [U lucene/suggest/.../analyzing/
+    * AnalyzingInfixSuggester.java — which INDEXES the suggest corpus
+    * with edge n-grams and answers lookups from that index]: a
+    * materialized suggest table keyed by the edge n-grams of every
+    * dictionary term. Lookup becomes an EQUALITY on the gram column —
+    * pushdown-able parquet point predicate on range-sorted row groups
+    * (min/max prunes), where the live `suggest` above leans on a LIKE
+    * prefix scan of the whole dictionary. Build once per commit
+    * generation, O(dict × maxGram) rows. */
+  def buildNgramIndex(idx: IndexView, dir: String,
+                      minGram: Int = 1, maxGram: Int = 8): Unit = {
+    val grams = idx.termStats
+      .select(col("term"), col("df").cast("long").as("df"))
+      .withColumn("gram", explode(
+        graft.analysis.Analysis.edgeNgramsCol(array(col("term")), minGram, maxGram)))
+    grams.select("gram", "term", "df")
+      .repartitionByRange(8, col("gram"))
+      .sortWithinPartitions("gram", "term")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Autocomplete from the ngram suggest index: equality on the gram
+    * (+ a residual prefix check only when the prefix exceeds maxGram). */
+  def suggestNgram(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   prefix: String, k: Int = 10, maxGram: Int = 8): DataFrame = {
+    val g = prefix.substring(0, math.min(prefix.length, maxGram))
+    val base = spark.read.parquet(dir).filter(col("gram") === g)
+    val hits = if (prefix.length <= maxGram) base
+               else base.filter(col("term").startsWith(prefix))
+    hits.select(col("term"), col("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(k)
+  }
+
   /** Spell correction: dictionary terms within `maxEdits` of the word
     * (excluding the word itself), most frequent first. The scan is
     * pruned BEFORE the levenshtein runs — a pushdown-able `tlen` band

@@ -1,0 +1,179 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.SparkEntry
+import graft.analysis.Analysis
+import graft.model.Corpus
+
+/** DocTransformers, ngram suggester, term vectors, LTR re-rank. */
+class TransformSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val idx = SparkEntry.index(spark, sfDir)
+  private lazy val rel = new RelationalPath(idx)
+
+  test("parseFl: fields + all transformer shapes") {
+    import DocTransformers._
+    val specs = parseFl("url,score,[docid],answer:[value v=42],len:tlen(dl),[explain]")
+    assert(specs === Seq(Field("url"), Field("score"), DocIdT,
+      ValueT("answer", "42"), FnT("len", "tlen", Seq("dl")), ExplainT))
+  }
+
+  test("[explain] rows: tf/df/dlq match a driver recount; contributions sum to the hit score") {
+    val terms = Seq("spark", "merge")
+    val hits = rel.orTopK(terms, 1, 10)
+    val rows = DocTransformers.explainRows(idx, hits, terms).collect()
+    assert(rows.nonEmpty)
+    // driver oracle from raw corpus text
+    val pages = Corpus.pages(spark, sfDir).collect()
+    val tok = pages.map(p => (p.url.split("/").last.toLong,
+      Analysis.analyze(p.text).toSeq)).toMap
+    val dfOf = terms.map(t => t -> tok.values.count(_.contains(t)).toLong).toMap
+    rows.foreach { r =>
+      val d = r.getLong(r.fieldIndex("doc_id"))
+      val t = r.getString(r.fieldIndex("term"))
+      assert(r.getLong(r.fieldIndex("tf")) === tok(d).count(_ == t).toLong,
+        s"tf mismatch doc=$d term=$t")
+      assert(r.getLong(r.fieldIndex("df")) === dfOf(t))
+    }
+    // nested form: per-hit score sum == relational OR score (double alg)
+    val nested = DocTransformers.explainNested(rel, hits, terms)
+      .withColumn("sumc", aggregate(col("explain"), lit(0.0),
+        (acc, x) => acc + x.getField("score")))
+      .select("doc_id", "sumc").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val orScores = rel.scoredTf(terms).groupBy("doc_id")
+      .agg(sum("score").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nested.foreach { case (d, s) =>
+      assert(math.abs(s - orScores(d)) < 1e-12, s"score sum mismatch doc=$d")
+    }
+  }
+
+  test("fl pipeline: [docid], [value], fn-computed field") {
+    val hits = rel.termTopK("spark", 5)
+    val out = DocTransformers.apply(idx, hits, TermQ("spark"),
+      DocTransformers.parseFl("rank,doc_id,[docid],answer:[value v=42]"))
+      .collect()
+    assert(out.length === 5)
+    assert(out.head.schema.fieldNames.toSet ===
+      Set("rank", "doc_id", "docId", "answer"))
+    assert(out.forall(_.getString(3) === "42"))
+  }
+
+  test("[child] attach: filtered + limited children, no join") {
+    import spark.implicits._
+    val parents = Seq((1, "p1"), (2, "p2")).toDF("pk", "pname")
+    val children = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("fk", "v")
+    val nested = BlockJoin.nest(parents, children, "pk", "fk")
+    val out = DocTransformers.childAttach(nested,
+      c => c.getField("v") >= 10, limit = 2)
+      .select(col("pk"), size(col("children")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out === Map(1 -> 2, 2 -> 0)) // 3 match for p1, sliced to 2
+  }
+
+  test("ngram suggester == live prefix scan for many prefixes") {
+    val dir = s"/tmp/graft-test-suggest-${System.nanoTime()}"
+    Suggest.buildNgramIndex(idx, dir, minGram = 1, maxGram = 4)
+    try {
+      Seq("s", "sp", "spa", "spar", "spark", "wind").foreach { p =>
+        val viaNgram = Suggest.suggestNgram(spark, dir, p, 10, maxGram = 4)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val viaScan = Suggest.suggest(idx, p, 10)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(viaNgram === viaScan, s"prefix '$p'")
+      }
+    } finally {
+      import java.nio.file.{Files, Paths}
+      val p = Paths.get(dir)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+    }
+  }
+
+  test("term vectors match a driver re-analysis of stored text") {
+    val pred = element_at(split(col("url"), "/"), -1).cast("long") < 5
+    val tv = TermVectors.forDocs(idx, pred).collect()
+      .map(r => ((r.getLong(0), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val pages = Corpus.pages(spark, sfDir).collect()
+      .filter(_.url.split("/").last.toLong < 5)
+    assert(pages.nonEmpty)
+    val docIdOfUrl = rel.docsWithId.select("url", "docId").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var checked = 0
+    pages.foreach { p =>
+      val docId = docIdOfUrl(p.url)
+      Analysis.analyze(p.text).zipWithIndex.groupBy(_._1)
+        .foreach { case (t, occ) =>
+          val (tf, fp, lp) = tv((docId, t))
+          assert(tf === occ.length.toLong, s"tf of $t")
+          assert(fp === occ.map(_._2).min.toLong, s"first_pos of $t")
+          assert(lp === occ.map(_._2).max.toLong, s"last_pos of $t")
+          checked += 1
+        }
+    }
+    assert(checked > 0)
+    assert(tv.size === checked, "no extra (doc, term) rows")
+  }
+
+  test("function queries: geodist haversine, linear, recip") {
+    import spark.implicits._
+    import graft.functions.ValueSources.fn
+    // London (51.5074, -0.1278) ↔ Paris (48.8566, 2.3522) ≈ 343.5 km
+    val df = Seq((51.5074, -0.1278, 48.8566, 2.3522))
+      .toDF("lat1", "lon1", "lat2", "lon2")
+    val km = df.select(fn("geodist",
+      col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("d"))
+      .head().getDouble(0)
+    assert(math.abs(km - 343.5) < 1.5, s"geodist London-Paris was $km")
+    val zero = df.select(fn("geodist",
+      col("lat1"), col("lon1"), col("lat1"), col("lon1")).as("d"))
+      .head().getDouble(0)
+    assert(zero === 0.0)
+    val lr = Seq((4.0)).toDF("x")
+      .select(fn("linear", col("x"), lit(2.0), lit(1.0)).as("l"),
+        fn("recip", col("x"), lit(1.0), lit(1.0), lit(1.0)).as("r"))
+      .head()
+    assert(lr.getDouble(0) === 9.0)
+    assert(lr.getDouble(1) === 0.2)
+  }
+
+  test("LTR linear re-rank == driver oracle with identical fold order") {
+    val terms = Seq("spark", "merge")
+    val model = Ltr.LinearModel(
+      Seq("base" -> col("s"), "dl" -> col("dl").cast("double"),
+        "dlq" -> col("dlq").cast("double")),
+      Seq(1.0, 0.001, -0.0005))
+    val got = Ltr.rescore(idx, terms, 30, 10, model).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // driver oracle: same candidates, same fold
+    val scored = rel.scoredTf(terms)
+      .groupBy("docId", "doc_id").agg(sum("score").as("s"))
+      .join(rel.docsWithId.select("docId", "dl", "dlq"), "docId")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("docId")), r.getLong(r.fieldIndex("doc_id")),
+        r.getDouble(r.fieldIndex("s")), r.getInt(r.fieldIndex("dl")),
+        r.getInt(r.fieldIndex("dlq"))))
+    val cand = scored.sortBy { case (docId, _, s, _, _) => (-s, docId) }.take(30)
+    val expected = cand
+      .map { case (docId, docPub, s, dl, dlq) =>
+        (docId, docPub, 1.0 * s + 0.001 * dl.toDouble + -0.0005 * dlq.toDouble)
+      }
+      .sortBy { case (docId, _, ltr) => (-ltr, docId) }
+      .take(10).zipWithIndex
+      .map { case ((_, docPub, _), i) => (i + 1, docPub) }.toSeq
+    assert(got === expected)
+    // weight (1,0,0) degenerates to the base ranking
+    val baseModel = Ltr.LinearModel(Seq("base" -> col("s")), Seq(1.0))
+    val baseGot = Ltr.rescore(idx, terms, 30, 10, baseModel).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val baseExp = rel.orTopK(terms, 1, 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(baseGot === baseExp)
+  }
+}
