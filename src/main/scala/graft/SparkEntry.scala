@@ -242,6 +242,16 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
       Ann.bruteTopK(emb, q, 5)
     }),
+    // kmeans() streaming-ML expression: deterministic fixed-point
+    // clustering (k=4, one refinement round from the vec_id seed)
+    "sx_kmeans" -> ((s, d) =>
+      graft.pipeline.KMeans.fit(tpch(s, d, "embeddings"), 4, 1)._1),
+    // knn() streaming expression: neighbors of one doc's own embedding
+    "sx_knn" -> ((s, d) => {
+      val emb = tpch(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.knnForDoc(emb, 3L, 5)
+    }),
     "ann_lsh" -> ((s, d) => {
       val emb = tpch(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -683,6 +693,47 @@ object SparkEntry {
     "ann_brute" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |pairs AS (SELECT q.q_id, e.vec_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.embedding)),
+        |      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (a,x) -> a + x)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.embedding)),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(q.qe)),
+        |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)), (a,x) -> a + x))) AS cos
+        | FROM e CROSS JOIN q),
+        |r AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank FROM pairs)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // kmeans twin: the whole fixed-point algorithm restated in SQL —
+    // integer distances/sums are order-free, so Spark partitioning
+    // cannot perturb the result (floor(s/n) exact: |s| < 2^31 ≪ 2^53)
+    "sx_kmeans" ->
+      """WITH fx AS (SELECT vec_id, list_transform(embedding, v -> CAST(round(v::DOUBLE * 1048576) AS BIGINT)) AS fx FROM embeddings),
+        |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS c, fx FROM (SELECT vec_id, fx FROM fx ORDER BY vec_id LIMIT 4)),
+        |a1 AS (SELECT f.vec_id,
+        |  (SELECT c FROM (
+        |     SELECT c0.c AS c, list_reduce(list_prepend(0::BIGINT,
+        |       list_transform(generate_series(1, len(f.fx)), i -> (f.fx[i] - c0.fx[i]) * (f.fx[i] - c0.fx[i]))),
+        |       (a,x) -> a + x) AS d
+        |     FROM c0) ORDER BY d, c LIMIT 1) AS cluster
+        |  FROM fx f),
+        |sums AS (SELECT a1.cluster AS c, g.i AS pos, sum(f.fx[g.i]) AS s, count(*) AS n
+        |  FROM a1 JOIN fx f USING (vec_id) CROSS JOIN generate_series(1, 64) g(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT c0.c, coalesce(u.fx2, c0.fx) AS fx
+        |  FROM c0 LEFT JOIN (
+        |    SELECT c, list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY pos) AS fx2 FROM sums GROUP BY c) u
+        |  USING (c)),
+        |a2 AS (SELECT f.vec_id,
+        |  (SELECT c FROM (
+        |     SELECT c1.c AS c, list_reduce(list_prepend(0::BIGINT,
+        |       list_transform(generate_series(1, len(f.fx)), i -> (f.fx[i] - c1.fx[i]) * (f.fx[i] - c1.fx[i]))),
+        |       (a,x) -> a + x) AS d
+        |     FROM c1) ORDER BY d, c LIMIT 1) AS cluster
+        |  FROM fx f)
+        |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    "sx_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 3),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 3),
         |pairs AS (SELECT q.q_id, e.vec_id,
         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.embedding)),
         |      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (a,x) -> a + x)

@@ -75,6 +75,18 @@ object Ann {
 
   /** LSH-bucketed ANN: exact re-rank within shared SRP buckets.
     * Approximate — recall measured against bruteTopK in tests. */
+  /** The reference's `knn(...)` streaming expression / KnnStream
+    * [U solrj io/stream/KnnStream.java; SURVEY.md P2 "KnnStream"]:
+    * the k nearest corpus vectors to ONE document's own embedding,
+    * the document itself excluded. A one-row query set over the same
+    * bounded-aggregator rank path as bruteTopK. */
+  def knnForDoc(embeddings: DataFrame, vecId: Long, k: Int): DataFrame =
+    bruteTopK(
+      embeddings.filter(col("vec_id") =!= vecId),
+      embeddings.filter(col("vec_id") === vecId)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      k)
+
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               dim: Int, numPlanes: Int = 8): DataFrame = {
     val e = embeddings.withColumn("bucket", srpBucket(col("embedding"), numPlanes, dim))

@@ -125,4 +125,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("blocks"),
       "termstats path must not touch the blocks column")
   }
+
+  test("ngram suggester lookup: gram equality pushed into the suggest scan") {
+    val dir = s"/tmp/graft-plan-suggest-${System.nanoTime()}"
+    Suggest.buildNgramIndex(idx, dir, minGram = 1, maxGram = 4)
+    try {
+      val p = plan(Suggest.suggestNgram(spark, dir, "sp", 10, maxGram = 4))
+      assert(p.contains("EqualTo(gram,sp)"), p.take(2000))
+      // top-k by df: bounded heap, not a global sort
+      assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    } finally {
+      import java.nio.file.{Files, Paths}
+      Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
+  test("LTR re-rank plan: broadcast candidates, TakeOrdered, no unbounded Window") {
+    val model = Ltr.LinearModel(
+      Seq("base" -> col("s"), "dl" -> col("dl").cast("double")),
+      Seq(1.0, 0.001))
+    val p = plan(Ltr.rescore(idx, Seq("spark", "merge"), 30, 10, model))
+    // candidate selection and the final re-rank are both bounded heaps
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(3000))
+    // the ≤topN candidate side broadcasts into the feature join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    val iTop = p.indexOf("TakeOrderedAndProject")
+    val iWin = p.indexOf("Window")
+    assert(iWin < 0 || iWin < iTop, "Window below TakeOrdered in LTR plan")
+  }
+
+  test("term-vectors fetch: doc predicate prunes the stored-fields scan") {
+    val p = plan(TermVectors.forDocs(idx, col("docId") < 5L))
+    assert(p.contains("LessThan(docId,5)"), p.take(2000))
+    // stored-fields read: docId/url/text only — never norms/dl/segId
+    assert(p.contains("ReadSchema") && !p.contains("norm"), p.take(2000))
+  }
 }
