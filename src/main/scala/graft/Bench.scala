@@ -49,6 +49,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.shuffle.compress",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      // parquet codec for everything the build writes: at high thread
+      // counts the build is memory/IO-bandwidth-bound, so a stronger
+      // codec (zstd) trades plentiful CPU for scarce bytes
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
