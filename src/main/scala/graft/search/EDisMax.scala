@@ -35,12 +35,17 @@ object EDisMax {
     val must = toks.filter(_.startsWith("+")).map(t => word(t.drop(1)))
     val mustNot = toks.filter(_.startsWith("-")).map(t => word(t.drop(1)))
     val should = toks.filterNot(t => t.startsWith("+") || t.startsWith("-")).map(word)
+    // mm applies to the EXECUTED optional-clause list — dedup and
+    // must-absorption first, or a percentage of the raw token count
+    // could exceed the satisfiable maximum (e.g. "+spark spark merge"
+    // at 100% would demand 2 SHOULD matches when only `merge` remains
+    // optional, returning nothing for satisfiable queries)
+    val effShould = should.distinct.filterNot(must.contains)
     val mmCount =
       if (mm.endsWith("%"))
-        math.max(0, mm.dropRight(1).trim.toInt) * should.distinct.length / 100
+        math.max(0, mm.dropRight(1).trim.toInt) * effShould.length / 100
       else mm.trim.toInt
-    Parsed(must.distinct, should.distinct.filterNot(must.contains),
-      mustNot.distinct, mmCount)
+    Parsed(must.distinct, effShould, mustNot.distinct, mmCount)
   }
 
   /** Execute over `fields` = (index, boost) per qf entry.

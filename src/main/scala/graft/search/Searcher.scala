@@ -174,7 +174,11 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
       // the first k docIds per segment — rank is docId order, so the
       // per-segment top-k is exactly the segment's lowest k live ids)
       val matchAllCutoff: Option[org.apache.spark.sql.Column] = q match {
-        case MatchAllQ | ConstScoreQ(MatchAllQ, _) if kk > 0 && !idx.hasDeletes =>
+        // `after.isEmpty`: a searchAfter cursor needs docIds PAST the
+        // first k per segment — the dense-prefix cutoff would hide the
+        // very rows page 2 must return
+        case MatchAllQ | ConstScoreQ(MatchAllQ, _)
+            if kk > 0 && !idx.hasDeletes && after.isEmpty =>
           idx match {
             case inv: graft.index.InvertedIndex if inv.segmentsDense =>
               Some(inv.segments.map(s => col("docId").between(s.minDocId,

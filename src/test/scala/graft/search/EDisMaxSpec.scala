@@ -21,6 +21,18 @@ class EDisMaxSpec extends SparkSpec {
     assert(EDisMax.parse("a b c", "67%").mmCount === 2) // floor(2.01)
   }
 
+  test("percentage mm counts the EXECUTED optional list, not raw tokens") {
+    // "+spark spark merge": spark is absorbed into must, so only `merge`
+    // remains optional — 100% must demand 1, not 2 (which would be
+    // unsatisfiable and return nothing for docs matching both terms)
+    val p = EDisMax.parse("+spark spark merge", "100%")
+    assert(p.must === Seq("spark"))
+    assert(p.should === Seq("merge"))
+    assert(p.mmCount === 1)
+    // all-duplicate should list collapses to 1 optional clause
+    assert(EDisMax.parse("data data data", "100%").mmCount === 1)
+  }
+
   test("single text field, boost 1 ≡ the single-field relational path") {
     val rel = new RelationalPath(textIdx)
     val viaEdismax = EDisMax.topK(Seq(textIdx -> 1.0),

@@ -92,6 +92,22 @@ class SearchSpec extends SparkSpec {
       relDocIds(rel.filterTopK("spark", "en", 10)))
   }
 
+  test("searchAfter page 2 of MatchAll is not hidden by the dense-prefix cutoff") {
+    // MatchAll scores are constant ⇒ rank is docId order; page 2 must be
+    // docIds k..2k-1, which live PAST the first-k-per-segment cutoff the
+    // k>0 match-all fast path applies — the cutoff must disable itself
+    // for cursored reads
+    val k = 10
+    val p1 = searcher.topK(MatchAllQ, k).collect()
+      .map(r => (r.getLong(1), r.getFloat(3))).toSeq
+    val (lastDoc, lastScore) = (p1.last._1, p1.last._2)
+    val p2 = searcher.topKAfter(MatchAllQ, k, lastScore, lastDoc).collect()
+      .map(_.getLong(1)).toSeq
+    val allLive = idx.docs.collect().map(_.docId).sorted.toSeq
+    assert(p1.map(_._1) === allLive.take(k))
+    assert(p2 === allLive.slice(k, 2 * k))
+  }
+
   test("reranking: base top-N rescored, engine == oracle float-exactly") {
     val cases = Seq(
       (TermQ("the"), Query.and("spark", "join"), 20, 2.0f),
