@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.index.{IndexBuilder, IndexConfig, InvertedIndex}
 import graft.model.Corpus
 import graft.pipeline.{Ann, Dedup, TextStats}
-import graft.search.{Query, RelationalPath, Searcher, TermQ}
+import graft.search.{GraphStreams, Query, RelationalPath, Searcher, TermQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -359,6 +359,41 @@ object SparkEntry {
       .except(tpch(s, d, "events").filter(col("event_type") === "click")
         .select("event_id"))
       .orderBy("event_id")),
+    // ---- graph traversal streams (§2 P2 — GatherNodesStream /
+    // ShortestPathStream analogues; nested hop joins + bounded BFS) ----
+    "sx_graph_gather" -> ((s, d) => {
+      // nodes(nodes(customers<4 → orders) → parts) with the count(*)
+      // gather metric: walks = lineitem rows of the seeds' orders
+      val e1 = tpch(s, d, "orders").select(
+        col("o_custkey").cast("string").as("src"),
+        col("o_orderkey").cast("string").as("dst"))
+      val e2 = tpch(s, d, "lineitem").select(
+        col("l_orderkey").cast("string").as("src"),
+        col("l_partkey").cast("string").as("dst"))
+      val s0 = GraphStreams.seeds(
+        tpch(s, d, "customer").filter(col("c_custkey") < 4),
+        col("c_custkey").cast("string"))
+      GraphStreams.gatherNodes(e2, GraphStreams.gatherNodes(e1, s0))
+        .select(col("node").cast("bigint").as("part"), col("paths"))
+        .orderBy("part")
+    }),
+    "sx_graph_spath" -> ((s, d) => {
+      // BFS min-distances ≤ 3 from customer 1 over the undirected
+      // customer↔order↔part graph (distinct order↔part edges)
+      val o = tpch(s, d, "orders")
+      val li = tpch(s, d, "lineitem")
+      val co = o.select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"))
+      val oc = o.select(concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+      val op = li.select(concat(lit("o:"), col("l_orderkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst")).distinct()
+      val po = li.select(concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("o:"), col("l_orderkey")).as("dst")).distinct()
+      GraphStreams.shortestDistances(co.union(oc).union(op).union(po), "c:1", 3)
+        .select(col("node"), col("dist").cast("int").as("dist"))
+        .orderBy("node")
+    }),
     // ---- function-query registry (§2.10) ----
     "fn_valuesources" -> ((s, d) => {
       import graft.functions.{ValueSources => V}
@@ -880,6 +915,26 @@ object SparkEntry {
       """SELECT event_id FROM events WHERE value > 250
         |EXCEPT SELECT event_id FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+    "sx_graph_gather" ->
+      """SELECT l_partkey AS part, count(*)::BIGINT AS paths
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_custkey < 4 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bounded BFS as a depth-capped recursive walk: min walk length ==
+    // BFS level for every node reachable within the cap
+    "sx_graph_spath" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src, 'o:' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+        |  UNION ALL SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'c:' || CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR), 'p:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR), 'o:' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+        |), walk(node, dist) AS (
+        |  SELECT 'c:1', 0
+        |  UNION ALL
+        |  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.dist < 3
+        |)
+        |SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
     "fn_valuesources" ->
       """SELECT doc_id,
         |abs(n_chars - 500)::BIGINT AS f_abs,
