@@ -22,7 +22,7 @@ import graft.search.{GraphStreams, Query, RelationalPath, Searcher, TermQ}
 object SparkEntry {
 
   /** Bump when the on-disk index format changes (stale caches rebuild). */
-  private val FormatVersion = "v5" // v5: stored text column in docs (staged sorted corpus); v4: termstats (tlen, cmask)
+  private val FormatVersion = "v6" // v6: _gram_meta.json sidecar on the suggest ngram table; v5: stored text column in docs (staged sorted corpus); v4: termstats (tlen, cmask)
 
   private val indexes = new ConcurrentHashMap[String, InvertedIndex]()
 

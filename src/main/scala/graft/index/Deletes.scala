@@ -150,13 +150,21 @@ object Deletes {
     val manifest = new String(Files.readAllBytes(Paths.get(dir, "manifest.json")))
     val m = graft.util.Json.obj(graft.util.Json.parse(manifest))
     val gen = m.get("generation").map(graft.util.Json.long).getOrElse(1L)
+    // the embedded segments array must track the swapped segments
+    // parquet — a stale copy would describe pre-compaction dense ranges
+    val segArr: Vector[Any] = spark.read.parquet(s"$dir/segments")
+      .as[graft.model.SegmentInfo].collect().sortBy(_.segId).toVector
+      .map(s => scala.collection.immutable.ListMap[String, Any](
+        "segId" -> s.segId.toLong, "nDocs" -> s.nDocs,
+        "minDocId" -> s.minDocId, "maxDocId" -> s.maxDocId))
     val updated = graft.util.Json.write(m
       .updated("generation", gen + 1)
       .updated("docCount", bm.docCount)
       .updated("sumTotalTermFreq", bm.sumTotalTermFreq)
       // avgdl tracks the post-compaction stats (the regex rewrite used
       // to leave it stale — informational, but keep it truthful)
-      .updated("avgdl", bm.sumTotalTermFreq.toDouble / math.max(1L, bm.docCount)))
+      .updated("avgdl", bm.sumTotalTermFreq.toDouble / math.max(1L, bm.docCount))
+      .updated("segments", segArr))
     val tmp = Paths.get(dir, ".manifest.json.tmp")
     Files.write(tmp, updated.getBytes)
     Files.move(tmp, Paths.get(dir, "manifest.json"),

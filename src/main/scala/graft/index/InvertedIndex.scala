@@ -66,14 +66,43 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
 
   def lineage: DataFrame = spark.read.parquet(s"$dir/lineage")
 
+  /** Generation this reader opened at. */
+  val generation: Long = {
+    val m = graft.util.Json.obj(graft.util.Json.parse(manifest))
+    m.get("generation").map(graft.util.Json.long).getOrElse(1L)
+  }
+
+  /** Current on-disk generation (one tiny driver file read) — drifts
+    * past `generation` when `Deletes.compact` rewrites the directory
+    * IN PLACE under this open reader. */
+  def diskGeneration: Long = {
+    val m = graft.util.Json.obj(graft.util.Json.parse(
+      new String(Files.readAllBytes(Paths.get(dir, "manifest.json")))))
+    m.get("generation").map(graft.util.Json.long).getOrElse(1L)
+  }
+
+  /** Fresh reader if the directory moved to a new generation
+    * (DirectoryReader.openIfChanged). */
+  def reopenIfChanged(): InvertedIndex =
+    if (diskGeneration != generation) new InvertedIndex(spark, dir) else this
+
   /** Per-segment docId ranges (driver-side, O(numSegments)) — the
-    * SegmentInfos the early-terminating sorted read plans against. */
-  @volatile private var segInfos: Option[Array[graft.model.SegmentInfo]] = None
+    * SegmentInfos the early-terminating sorted read plans against.
+    * Keyed on the on-disk generation: an in-place compaction under a
+    * live reader must NOT leave the dense-prefix consumers (MatchAll
+    * docId-cutoff, early-terminating sorted reads) planning against
+    * pre-compaction ranges — they would silently drop the live docs
+    * that now sit past the stale dense window. The refreshed table
+    * shows the sparse post-compaction ranges, so those consumers fall
+    * back to the full scan. */
+  @volatile private var segInfos
+      : Option[(Long, Array[graft.model.SegmentInfo])] = None
   def segments: Array[graft.model.SegmentInfo] = {
-    if (segInfos.isEmpty)
-      segInfos = Some(spark.read.parquet(s"$dir/segments")
-        .as[graft.model.SegmentInfo].collect().sortBy(_.segId))
-    segInfos.get
+    val gen = diskGeneration
+    if (!segInfos.exists(_._1 == gen))
+      segInfos = Some((gen, spark.read.parquet(s"$dir/segments")
+        .as[graft.model.SegmentInfo].collect().sortBy(_.segId)))
+    segInfos.get._2
   }
 
   /** Whether every segment's docIds form a gap-free range — the

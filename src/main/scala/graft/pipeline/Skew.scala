@@ -32,8 +32,13 @@ object Skew {
                            cap: Int = 1024, label: String = "lsh"): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     val origCols = df.columns.toSeq
+    // persisted: the oversized-bucket diagnostic below materializes this
+    // aggregation ONCE and the pair join then reuses the cache — without
+    // it every caller paid the bucket-count pass twice (once eagerly for
+    // the log line, once again inside the join)
     val sizes = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sliced = df.join(sizes, keyCols)
       .withColumn("__g",

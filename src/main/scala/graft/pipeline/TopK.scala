@@ -29,9 +29,18 @@ final class TopKAggregator(k: Int)
     extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
   require(k > 0, s"k must be positive: $k")
 
-  /** (cos desc, id asc) — true iff a ranks strictly before b. */
-  @inline private def before(a: ScoredId, b: ScoredId): Boolean =
-    a.cos > b.cos || (a.cos == b.cos && a.id < b.id)
+  /** (cos desc, id asc) — true iff a ranks strictly before b.
+    * TOTAL order over doubles (java.lang.Double.compare: NaN greatest,
+    * matching Spark's and DuckDB's DESC sort where NaN sorts first) —
+    * IEEE `>` would silently drop NaN scores (e.g. a zero-norm
+    * embedding's 0/0 cosine) from a full buffer and break merge-order
+    * independence. -0.0 is collapsed to 0.0 first (Spark sort treats
+    * them equal; Double.compare does not). */
+  @inline private def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+  @inline private def before(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(norm(a.cos), norm(b.cos))
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Seq[ScoredId] = Vector.empty
 

@@ -80,10 +80,18 @@ object EDisMax {
         perDoc.filter(col("nShould") >= p.mmCount)
       else perDoc
     var out = mmFiltered.select(col("docId"), col("doc_id"), col("s"))
-    if (p.mustNot.nonEmpty) // excluded if the term matches ANY qf field
-      out = out.join(
-        fieldScores(p.mustNot).select("docId").distinct(),
-        Seq("docId"), "left_anti")
+    if (p.mustNot.nonEmpty) {
+      // excluded if the term matches ANY qf field — only matching
+      // docIds are needed, so read the raw tf table per field (as
+      // boolTopK does) instead of running the BM25 scoring pipeline
+      // (term-stats broadcast + docs join + score projection) on terms
+      // whose scores are discarded
+      val excluded = fields.map { case (idx, _) =>
+        new RelationalPath(idx).tfTable(p.mustNot)
+          .toDF("term", "docId", "tf").select("docId")
+      }.reduce(_ union _).distinct()
+      out = out.join(excluded, Seq("docId"), "left_anti")
+    }
     out
       .orderBy(desc("s"), asc("docId"))
       .limit(k)

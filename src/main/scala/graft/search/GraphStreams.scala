@@ -55,6 +55,7 @@ object GraphStreams {
         col("dst").cast("string").as("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val scratch = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     var visited = Seq((seed, 0)).toDF("node", "dist")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = visited
@@ -71,10 +72,19 @@ object GraphStreams {
         .withColumn("dist", lit(dd))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize: later hops must not re-run this one
+      scratch += next
+      scratch += visited
       visited = visited.union(next)
         .persist(StorageLevel.MEMORY_AND_DISK)
       frontier = next
     }
+    // materialize the result, then release every intermediate level —
+    // repeated traversals in one application must not accumulate
+    // superseded frontier/visited blocks for the JVM lifetime (eviction
+    // would only cost a lineage recompute, but the storage leak evicts
+    // USEFUL cache). The returned frame stays persisted for the caller.
+    visited.count()
+    scratch.foreach(_.unpersist(blocking = false))
     visited
   }
 
@@ -94,6 +104,7 @@ object GraphStreams {
         col("dst").cast("string").as("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val scratch = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     var visited = Seq((from, 0, "")).toDF("node", "dist", "parent")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = visited
@@ -110,25 +121,34 @@ object GraphStreams {
         .select(col("node"), lit(dd).as("dist"), col("parent"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
+      scratch += next
+      scratch += visited
       visited = visited.union(next)
         .persist(StorageLevel.MEMORY_AND_DISK)
       frontier = next
       found = !next.filter(col("node") === to).isEmpty
     }
-    if (!found && from != to)
-      return Seq.empty[(Int, String)].toDF("step", "node")
-    // backtrack to..from: one single-row lookup per step
-    val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    var cur = to
-    var dist = visited.filter(col("node") === cur).select("dist")
-      .head().getInt(0)
-    steps += ((dist, cur))
-    while (dist > 0) {
-      cur = visited.filter(col("node") === cur && col("dist") === dist)
-        .select("parent").head().getString(0)
-      dist -= 1
+    try {
+      if (!found && from != to)
+        return Seq.empty[(Int, String)].toDF("step", "node")
+      // backtrack to..from: one single-row lookup per step
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      var cur = to
+      var dist = visited.filter(col("node") === cur).select("dist")
+        .head().getInt(0)
       steps += ((dist, cur))
+      while (dist > 0) {
+        cur = visited.filter(col("node") === cur && col("dist") === dist)
+          .select("parent").head().getString(0)
+        dist -= 1
+        steps += ((dist, cur))
+      }
+      steps.sortBy(_._1).toSeq.toDF("step", "node")
+    } finally {
+      // the path is on the driver — release every BFS level and the
+      // repartitioned edge copy before returning
+      scratch.foreach(_.unpersist(blocking = false))
+      visited.unpersist(blocking = false)
     }
-    steps.sortBy(_._1).toSeq.toDF("step", "node")
   }
 }

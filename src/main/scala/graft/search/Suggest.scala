@@ -42,16 +42,43 @@ object Suggest {
       .repartitionByRange(8, col("gram"))
       .sortWithinPartitions("gram", "term")
       .write.mode("overwrite").parquet(dir)
+    // gram bounds ride with the table: a lookup must slice its prefix
+    // with the BUILD's maxGram, not a caller-supplied guess (underscore
+    // prefix keeps the sidecar invisible to the parquet reader)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_gram_meta.json"),
+      graft.util.Json.write(scala.collection.immutable.ListMap[String, Any](
+        "minGram" -> minGram.toLong, "maxGram" -> maxGram.toLong)))
   }
 
   /** Autocomplete from the ngram suggest index: equality on the gram
-    * (+ a residual prefix check only when the prefix exceeds maxGram). */
+    * (+ a residual prefix check only when the prefix exceeds the
+    * build's maxGram; a range predicate on the minGram-length grams
+    * when the prefix is shorter than the smallest indexed gram — both
+    * read from the table's own metadata, so lookup parameters can
+    * never silently disagree with the build's). Terms shorter than the
+    * build minGram are not indexed (as with the reference suggester's
+    * minPrefixChars). */
   def suggestNgram(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   prefix: String, k: Int = 10, maxGram: Int = 8): DataFrame = {
-    val g = prefix.substring(0, math.min(prefix.length, maxGram))
-    val base = spark.read.parquet(dir).filter(col("gram") === g)
-    val hits = if (prefix.length <= maxGram) base
-               else base.filter(col("term").startsWith(prefix))
+                   prefix: String, k: Int = 10): DataFrame = {
+    val m = graft.util.Json.obj(graft.util.Json.parse(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_gram_meta.json"))))
+    val minG = graft.util.Json.long(m("minGram")).toInt
+    val maxG = graft.util.Json.long(m("maxGram")).toInt
+    val table = spark.read.parquet(dir)
+    val hits =
+      if (prefix.length < minG)
+        // each term carries exactly ONE gram of length minGram (its own
+        // prefix) — still a pushdown-able range on the sorted grams
+        table.filter(length(col("gram")) === minG &&
+          col("gram").startsWith(prefix))
+      else {
+        val g = prefix.substring(0, math.min(prefix.length, maxG))
+        val base = table.filter(col("gram") === g)
+        if (prefix.length <= maxG) base
+        else base.filter(col("term").startsWith(prefix))
+      }
     hits.select(col("term"), col("df"))
       .orderBy(desc("df"), asc("term"))
       .limit(k)

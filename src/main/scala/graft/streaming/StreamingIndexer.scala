@@ -80,6 +80,17 @@ object StreamingIndexer {
     require(Files.exists(base), s"no tlog under $dir")
     val dirs = Files.list(base).iterator().asScala.map(_.toString)
       .filter(p => Files.exists(Paths.get(p, "_SUCCESS"))).toSeq.sorted
+    // every tlog write may have crashed pre-_SUCCESS: a /get then has
+    // no complete generation to read — that is "no docs", not an error
+    // (spark.read.parquet over zero paths throws schema-inference)
+    if (dirs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("committed",
+            org.apache.spark.sql.types.BooleanType))))
     val committed = generations(dir).map(_._1)
     val w = Window.partitionBy("url").orderBy(desc("warc_ts"), desc("genId"))
     spark.read.parquet(dirs: _*)

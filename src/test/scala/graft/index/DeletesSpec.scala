@@ -79,6 +79,33 @@ class DeletesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("stale live reader survives in-place compaction: dense-prefix fast paths refresh") {
+    val dir = Files.createTempDirectory("graft-del-stale").toString
+    val idx = IndexBuilder.build(spark, mkPages(texts), dir,
+      IndexConfig(numPartitions = 2, partsPerSegment = 1))
+    val searcher = new Searcher(idx)
+    // prime the segments cache via the match-all docId-cutoff fast path
+    assert(idx.segmentsDense)
+    assert(searcher.topK(MatchAllQ, 2).collect().map(_.getLong(1)).toSeq
+      === Seq(0L, 1L))
+    // delete the first docs of the dense prefix, compact IN PLACE
+    Deletes.deleteByUrl(idx, Seq("https://d/0000", "https://d/0001"))
+    Deletes.compact(idx)
+    // the SAME stale instance: generation drift must refresh the cached
+    // segment ranges — the STALE ranges would cut to docIds [0,1], which
+    // no longer exist, silently returning zero docs. (The refreshed
+    // segments may legitimately still read dense — an edge deletion
+    // leaves a gap-free range with a NEW min — so assert the behavior,
+    // not density.)
+    assert(idx.diskGeneration > idx.generation)
+    val after = searcher.topK(MatchAllQ, 2).collect().map(_.getLong(1)).toSeq
+    assert(after === Seq(2L, 3L))
+    // reopenIfChanged hands back a current-generation reader
+    val fresh = idx.reopenIfChanged()
+    assert(fresh.generation === idx.diskGeneration)
+    assert(fresh.stats.docCount === 3)
+  }
+
   test("randomized deletes: exclusion pre-compact, oracle identity post-compact") {
     val rnd = new scala.util.Random(4242L)
     val vocab = Seq("the", "spark", "join", "merge", "sort", "window",

@@ -170,6 +170,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("TopKAggregator: NaN ranks first (Spark/DuckDB DESC order), -0.0 == 0.0") {
+    val agg = new TopKAggregator(3)
+    // a zero-norm embedding's 0/0 cosine is NaN — the Window path it
+    // replaced ranked NaN first (Spark NaN = largest); IEEE `>` would
+    // instead drop it from a full buffer, partition-order-dependently
+    val items = Seq(ScoredId(1.0, 5), ScoredId(Double.NaN, 8),
+      ScoredId(2.0, 4), ScoredId(0.5, 1), ScoredId(Double.NaN, 3))
+    val expected = Seq(ScoredId(Double.NaN, 3), ScoredId(Double.NaN, 8),
+      ScoredId(2.0, 4))
+    def eq(a: Seq[ScoredId], b: Seq[ScoredId]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (x, y) =>
+        x.id == y.id && (x.cos == y.cos || (x.cos.isNaN && y.cos.isNaN)) }
+    for (perm <- items.permutations) {
+      assert(eq(agg.finish(perm.foldLeft(agg.zero)(agg.reduce)), expected))
+      val (l, r) = perm.splitAt(2)
+      assert(eq(agg.finish(agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))), expected))
+    }
+    // -0.0 ties 0.0 (Spark sort collapses signed zero) → id order decides
+    val z = Seq(ScoredId(0.0, 9), ScoredId(-0.0, 2)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(z).map(_.id) === Seq(2L, 9L))
+  }
+
   test("text stats: counts and quality bounded") {
     val df = docsDf(corpus)
     val counts = TextStats.countingStats(df).collect()

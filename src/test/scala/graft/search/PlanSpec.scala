@@ -130,7 +130,7 @@ class PlanSpec extends SparkSpec {
     val dir = s"/tmp/graft-plan-suggest-${System.nanoTime()}"
     Suggest.buildNgramIndex(idx, dir, minGram = 1, maxGram = 4)
     try {
-      val p = plan(Suggest.suggestNgram(spark, dir, "sp", 10, maxGram = 4))
+      val p = plan(Suggest.suggestNgram(spark, dir, "sp", 10))
       assert(p.contains("EqualTo(gram,sp)"), p.take(2000))
       // top-k by df: bounded heap, not a global sort
       assert(p.contains("TakeOrderedAndProject"), p.take(3000))

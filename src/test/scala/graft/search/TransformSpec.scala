@@ -75,12 +75,36 @@ class TransformSpec extends SparkSpec {
     assert(out === Map(1 -> 2, 2 -> 0)) // 3 match for p1, sliced to 2
   }
 
+  test("ngram suggester reads gram bounds from the table's own metadata") {
+    // build with narrow bounds; lookups must honor THEM (a caller-side
+    // maxGram guess used to silently return empty past the built grams)
+    val dir = s"/tmp/graft-test-suggest-meta-${System.nanoTime()}"
+    Suggest.buildNgramIndex(idx, dir, minGram = 2, maxGram = 3)
+    try {
+      Seq("s", "sp", "spa", "spar", "spark").foreach { p =>
+        val viaNgram = Suggest.suggestNgram(spark, dir, p, 10)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        // expected: live scan restricted to indexable terms (≥ minGram)
+        val expected = idx.termStats
+          .filter(col("term").startsWith(p) && length(col("term")) >= 2)
+          .select(col("term"), col("df").cast("long").as("df"))
+          .orderBy(desc("df"), asc("term")).limit(10)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(viaNgram === expected, s"prefix '$p'")
+      }
+    } finally {
+      import java.nio.file.{Files, Paths}
+      Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
   test("ngram suggester == live prefix scan for many prefixes") {
     val dir = s"/tmp/graft-test-suggest-${System.nanoTime()}"
     Suggest.buildNgramIndex(idx, dir, minGram = 1, maxGram = 4)
     try {
       Seq("s", "sp", "spa", "spar", "spark", "wind").foreach { p =>
-        val viaNgram = Suggest.suggestNgram(spark, dir, p, 10, maxGram = 4)
+        val viaNgram = Suggest.suggestNgram(spark, dir, p, 10)
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         val viaScan = Suggest.suggest(idx, p, 10)
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

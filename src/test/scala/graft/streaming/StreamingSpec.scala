@@ -146,6 +146,14 @@ class StreamingSpec extends SparkSpec {
     assert(!latest.head.getAs[Boolean]("committed"))
   }
 
+  test("realtime-get: incomplete tlog (no _SUCCESS generation) is empty, not an error") {
+    val dir = Files.createTempDirectory("graft-rtg-empty").toString
+    // simulate a writer crash after mkdir but before _SUCCESS
+    Files.createDirectories(java.nio.file.Paths.get(dir, "tlog", "gen-0"))
+    val got = StreamingIndexer.realtimeGet(spark, dir, Seq("https://s/0001"))
+    assert(got.count() === 0)
+  }
+
   test("within-batch duplicate urls collapse last-writer-wins") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     import spark.implicits._
