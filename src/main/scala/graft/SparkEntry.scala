@@ -394,6 +394,23 @@ object SparkEntry {
         .select(col("node"), col("dist").cast("int").as("dist"))
         .orderBy("node")
     }),
+    // ---- update-request-processor chain (§2 extension surface:
+    // pre-index document pipeline — clone/regex/default/signature-
+    // dedupe/truncate/trim as composed Column transforms) ----
+    "sx_urp" -> ((s, d) => {
+      import graft.pipeline.Urp
+      val chain = Urp.chain(
+        Urp.cloneField("source", "src_norm"),
+        Urp.regexReplace("src_norm", "^src", "source-"),
+        Urp.defaultValue("lang", "und"),
+        Urp.signatureDedup(Seq("text"), "doc_id"),
+        Urp.truncate("text", 40),
+        Urp.trimFields("text"))
+      chain(docsTable(s, d))
+        .select(col("doc_id"), col("src_norm"), col("lang"),
+          length(col("text")).cast("long").as("snip_len"))
+        .orderBy("doc_id")
+    }),
     // ---- function-query registry (§2.10) ----
     "fn_valuesources" -> ((s, d) => {
       import graft.functions.{ValueSources => V}
@@ -915,6 +932,16 @@ object SparkEntry {
       """SELECT event_id FROM events WHERE value > 250
         |EXCEPT SELECT event_id FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+    "sx_urp" ->
+      """SELECT doc_id,
+        |  regexp_replace(source, '^src', 'source-') AS src_norm,
+        |  coalesce(lang, 'und') AS lang,
+        |  CAST(length(trim(substr(text, 1, 40))) AS BIGINT) AS snip_len
+        |FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents
+        |  GROUP BY md5(coalesce(CAST(text AS VARCHAR), '')))
+        |ORDER BY doc_id""".stripMargin,
     "sx_graph_gather" ->
       """SELECT l_partkey AS part, count(*)::BIGINT AS paths
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey

@@ -87,6 +87,10 @@ object TextStats {
 
   private val langIdUdf = udf(langIdOf _)
 
+  /** Column form of the language-ID scorer (for URP-chain use). */
+  def langIdCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    langIdUdf(text)
+
   /** (doc_id, lang_pred) heuristic language id. */
   def langId(documents: DataFrame): DataFrame =
     documents.select(col("doc_id").cast("long").as("doc_id"),
