@@ -84,6 +84,24 @@ object Suggest {
       .limit(k)
   }
 
+  /** Phonetic "sounds-like" suggestions [U lucene/analysis/phonetic/
+    * .../PhoneticFilter.java (commons-codec Soundex); solr phonetic
+    * field types]: dictionary terms sharing the query's American
+    * Soundex code, most frequent first. Soundex preserves the first
+    * letter, so the dictionary scan is pruned by a PUSHDOWN-able
+    * prefix predicate before the (non-pushdown-able) code compare —
+    * the same automaton-analogue pruning shape as spellcheck. */
+  def soundsLike(idx: IndexView, word: String, k: Int = 10): DataFrame = {
+    require(word.nonEmpty && word.head.isLetter, s"bad phonetic query: '$word'")
+    idx.termStats
+      .filter(col("term").startsWith(word.substring(0, 1).toLowerCase))
+      .filter(soundex(col("term")) === soundex(lit(word.toLowerCase)) &&
+        col("term") =!= word.toLowerCase)
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(k)
+  }
+
   /** Spell correction: dictionary terms within `maxEdits` of the word
     * (excluding the word itself), most frequent first. The scan is
     * pruned BEFORE the levenshtein runs — a pushdown-able `tlen` band

@@ -126,6 +126,12 @@ class PlanSpec extends SparkSpec {
       "termstats path must not touch the blocks column")
   }
 
+  test("phonetic sounds-like: first-letter prefix pushed below the soundex compare") {
+    val p = plan(Suggest.soundsLike(idx, "spork", 5))
+    assert(p.contains("StringStartsWith(term,s)"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("ngram suggester lookup: gram equality pushed into the suggest scan") {
     val dir = s"/tmp/graft-plan-suggest-${System.nanoTime()}"
     Suggest.buildNgramIndex(idx, dir, minGram = 1, maxGram = 4)

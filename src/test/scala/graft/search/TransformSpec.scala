@@ -75,6 +75,19 @@ class TransformSpec extends SparkSpec {
     assert(out === Map(1 -> 2, 2 -> 0)) // 3 match for p1, sliced to 2
   }
 
+  test("phonetic sounds-like: same-soundex dictionary terms, self excluded") {
+    // spork and spark share Soundex S162
+    val hits = Suggest.soundsLike(idx, "spork", 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(hits.contains("spark"))
+    // query term itself never suggested
+    assert(!Suggest.soundsLike(idx, "spark", 5)
+      .collect().map(_.getString(0)).contains("spark"))
+    // no cross-first-letter codes (prefix prune is semantics-preserving
+    // because Soundex keeps the first letter)
+    hits.foreach(t => assert(t.startsWith("s")))
+  }
+
   test("ngram suggester reads gram bounds from the table's own metadata") {
     // build with narrow bounds; lookups must honor THEM (a caller-side
     // maxGram guess used to silently return empty past the built grams)
