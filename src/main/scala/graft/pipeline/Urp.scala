@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * composable `DataFrame => DataFrame` transforms that run BEFORE
   * `IndexBuilder.build` / `StreamingIndexer.appendGeneration`.
   *
-  * Every processor is pure Column expressions (codegen, no UDFs) except
-  * `signatureDedup`, whose one shuffle is a groupBy on the signature —
-  * the same map-side-combined single-shuffle shape as exact dedup, so
-  * the chain costs O(1) extra shuffles at corpus scale. */
+  * Every processor is pure Column expressions (codegen, no UDFs, no
+  * shuffle) except `signatureDedup` — one partitioned-window shuffle on
+  * the signature, so the chain costs O(1) extra shuffles at corpus
+  * scale — and `langDetect`, whose language scorer is a scalar UDF
+  * (TextStats.langIdUdf): correct but not codegen, keep it off the
+  * hottest chains or stamp lang once at ingest. */
 object Urp {
 
   type Processor = DataFrame => DataFrame
@@ -34,8 +36,7 @@ object Urp {
 
   /** RegexReplaceProcessorFactory over one field. */
   def regexReplace(field: String, pattern: String, replacement: String): Processor =
-    df => df.withColumn(field,
-      org.apache.spark.sql.functions.regexp_replace(col(field), pattern, replacement))
+    df => df.withColumn(field, regexp_replace(col(field), pattern, replacement))
 
   /** TrimFieldUpdateProcessorFactory. */
   def trimFields(fields: String*): Processor =
@@ -56,15 +57,23 @@ object Urp {
     * ONE row per signature — deterministically the minimum `keyField`
     * (the reference keeps the last write; a distributed batch has no
     * write order, so the stable key order is the documented pin).
-    * One shuffle: groupBy(signature) → min(key), then a semi join back
-    * (broadcast when the survivor set is small, shuffle otherwise —
-    * Catalyst/AQE picks). */
+    * EXACTLY one row survives per signature even when keys tie or are
+    * null (a min-key semi join would keep every tied row and drop
+    * all-null-key groups entirely), via one partitioned-window shuffle
+    * on the signature — the same single-shuffle cost as a groupBy,
+    * with no join back. */
   def signatureDedup(sigFields: Seq[String], keyField: String): Processor = { df =>
     val sig = md5(concat_ws("\u0000", sigFields.map(f => coalesce(col(f).cast("string"), lit(""))): _*))
-    val withSig = df.withColumn("__sig", sig)
-    val keep = withSig.groupBy("__sig")
-      .agg(min(col(keyField)).as(keyField))
-      .select(col("__sig"), col(keyField))
-    withSig.join(keep, Seq("__sig", keyField), "left_semi").drop("__sig")
+    // temp column names that cannot clobber caller data
+    val sigCol = Iterator.from(0).map(i => s"__sig$i")
+      .find(n => !df.columns.contains(n)).get
+    val rnCol = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sigCol)).orderBy(asc_nulls_last(keyField))
+    df.withColumn(sigCol, sig)
+      .withColumn(rnCol, row_number().over(w))
+      .filter(col(rnCol) === 1)
+      .drop(sigCol, rnCol)
   }
 }

@@ -92,11 +92,19 @@ object Suggest {
     * prefix predicate before the (non-pushdown-able) code compare —
     * the same automaton-analogue pruning shape as spellcheck. */
   def soundsLike(idx: IndexView, word: String, k: Int = 10): DataFrame = {
-    require(word.nonEmpty && word.head.isLetter, s"bad phonetic query: '$word'")
+    // soundex handles [A-Za-z] only — a non-ASCII initial would pass
+    // through unchanged and the compare could never match; reject it
+    // loudly instead of silently returning no rows. Lowercasing uses
+    // the index's own locale-independent fold (Locale.ROOT), not the
+    // JVM default locale (tr-TR would break the prefix prune on 'I').
+    require(word.nonEmpty &&
+      (word.head.isUpper || word.head.isLower) && word.head < 0x80,
+      s"bad phonetic query: '$word'")
+    val w = graft.analysis.Analysis.lowercase(word)
     idx.termStats
-      .filter(col("term").startsWith(word.substring(0, 1).toLowerCase))
-      .filter(soundex(col("term")) === soundex(lit(word.toLowerCase)) &&
-        col("term") =!= word.toLowerCase)
+      .filter(col("term").startsWith(w.substring(0, 1)))
+      .filter(soundex(col("term")) === soundex(lit(w)) &&
+        col("term") =!= w)
       .select(col("term"), col("df").cast("long").as("df"))
       .orderBy(desc("df"), asc("term"))
       .limit(k)

@@ -45,6 +45,24 @@ class UrpSpec extends SparkSpec {
     assert(out === Seq(1L, 2L, 4L)) // doc 3 collapses into doc 1
   }
 
+  test("signatureDedup: tied keys and all-null keys still keep exactly one row") {
+    import spark.implicits._
+    val dups = Seq[(java.lang.Long, String)](
+      (1L, "same"), (1L, "same"),  // fully identical rows
+      (null, "nullkey"),           // all-null-key group
+      (null, "nullkey"),
+      (7L, "other"))
+      .toDF("doc_id", "text")
+    val out = Urp.signatureDedup(Seq("text"), "doc_id")(dups)
+      .select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(out === Seq("nullkey", "other", "same"))
+    // a pre-existing __sig0 column passes through untouched
+    val shadow = dups.withColumn("__sig0", lit("mine"))
+    val kept = Urp.signatureDedup(Seq("text"), "doc_id")(shadow)
+    assert(kept.columns.contains("__sig0"))
+    assert(kept.select("__sig0").distinct().collect().map(_.getString(0)).toSeq === Seq("mine"))
+  }
+
   test("langDetect stamps the heuristic language id") {
     val out = Urp.langDetect("text", "lang_pred")(df)
       .orderBy("doc_id").collect().map(_.getAs[String]("lang_pred")).toSeq
