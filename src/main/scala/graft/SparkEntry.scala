@@ -180,6 +180,15 @@ object SparkEntry {
         Seq(1.0, 0.001, -0.0005))
       graft.search.Ltr.rescore(index(s, d), Seq("spark", "merge"), 30, 10, model)
     }),
+    // edismax tie + bf: dismax tiebreak folds the losing field in at
+    // 0.3, and an additive ln(dl+1) boost function over the primary
+    // field's docs row (the Solr `tie`/`bf` params)
+    "ir_q35_edismax_tiebf" -> ((s, d) => {
+      val p = graft.search.EDisMax.parse("spark src3", "50%")
+      graft.search.EDisMax.topK(
+        Seq(index(s, d) -> 2.0, urlIndex(s, d) -> 1.0), p, 10,
+        tie = 0.3, bf = Some(log(col("dl") + lit(1L))))
+    }),
     // span/interval proximity (§2.4 P2 row): ordered + unordered near
     "ir_q26_spannear" -> ((s, d) =>
       rel(s, d).spanNearDocs(Seq("spark", "merge"), slop = 3, inOrder = true)),
@@ -552,6 +561,32 @@ object SparkEntry {
           |  SELECT doc_id, term, 1.0 * score AS ws FROM uscored WHERE term IN ('spark','src3')),
           |dmx AS (SELECT doc_id, term, max(ws) AS ts FROM allf GROUP BY 1, 2),
           |sel AS (SELECT doc_id, sum(ts) AS s FROM dmx GROUP BY 1 HAVING count(*) >= 1)
+          |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+          |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
+          |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // edismax tie+bf twin: dmx folds the losing field in at 0.3; the
+    // additive boost ln(dl+1) lands AFTER the per-doc sum(ts), matching
+    // the engine's fold order exactly
+    "ir_q35_edismax_tiebf" ->
+      (bm25Cte +
+        """, utok AS (SELECT doc_id, unnest(['https','example','com', source,
+          |    lpad(CAST(doc_id AS VARCHAR), 12, '0')]) AS term FROM documents),
+          |utf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM utok GROUP BY 1, 2),
+          |udfs AS (SELECT term, count(*)::BIGINT AS df FROM utf GROUP BY 1),
+          |ucs AS (SELECT count(*)::BIGINT AS n, 5.0::DOUBLE AS avgdl FROM documents),
+          |uscored AS (SELECT t.term, t.doc_id,
+          |    ln(1.0 + (ucs.n - d.df + 0.5) / (d.df + 0.5)) * (t.tf / (t.tf + 1.2 * (0.25 + 0.75 * 5 / ucs.avgdl))) AS score
+          |  FROM utf t JOIN udfs d USING (term), ucs),
+          |allf AS (
+          |  SELECT doc_id, term, 2.0 * score AS ws FROM scored WHERE term IN ('spark','src3')
+          |  UNION ALL
+          |  SELECT doc_id, term, 1.0 * score AS ws FROM uscored WHERE term IN ('spark','src3')),
+          |dmx AS (SELECT doc_id, term,
+          |    max(ws) + 0.3 * (sum(ws) - max(ws)) AS ts FROM allf GROUP BY 1, 2),
+          |sel0 AS (SELECT doc_id, sum(ts) AS s0 FROM dmx GROUP BY 1 HAVING count(*) >= 1),
+          |sel AS (SELECT sel0.doc_id, s0 + ln(l.dl + 1) AS s
+          |  FROM sel0 JOIN dl l USING (doc_id))
           |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))

@@ -50,8 +50,19 @@ object EDisMax {
 
   /** Execute over `fields` = (index, boost) per qf entry.
     * Output: (rank, doc_id), double-precision tie-robust ranking like
-    * the other relational top-k paths. */
-  def topK(fields: Seq[(IndexView, Double)], p: Parsed, k: Int = 10): DataFrame = {
+    * the other relational top-k paths.
+    *
+    * @param tie the dismax tiebreak [U solr DisMaxQParser `tie`]:
+    *        per (doc, term) the field score is
+    *        max_f(ws) + tie·(Σ_f(ws) − max_f(ws)) — 0.0 (default) is
+    *        pure DisjunctionMax, 1.0 degrades to a plain sum.
+    * @param bf additive boost function [U solr edismax `bf`]: a Column
+    *        over the PRIMARY (first qf) field's docs table — e.g.
+    *        `log(col("dl") + 1)` — added once per matching doc. Uses
+    *        the same ValueSources registry as function queries. */
+  def topK(fields: Seq[(IndexView, Double)], p: Parsed, k: Int = 10,
+           tie: Double = 0.0,
+           bf: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(fields.nonEmpty, "edismax needs at least one qf field")
     val spark = fields.head._1.spark
     val scoredTerms = p.must ++ p.should
@@ -65,10 +76,14 @@ object EDisMax {
             (col("score") * lit(boost)).as("ws"))
       }.reduce(_ unionByName _)
 
-    // DisMax per (doc, term) across fields, then Boolean over terms
+    // DisMax per (doc, term) across fields (tiebreak folds the
+    // non-winning fields in at `tie` weight), then Boolean over terms
+    val tsCol =
+      if (tie == 0.0) max("ws")
+      else max("ws") + lit(tie) * (sum("ws") - max("ws"))
     val perDoc = fieldScores(scoredTerms)
       .groupBy("docId", "doc_id", "term")
-      .agg(max("ws").as("ts"))
+      .agg(tsCol.as("ts"))
       .withColumn("isMust", col("term").isin(p.must: _*))
       .groupBy("docId", "doc_id")
       .agg(sum("ts").as("s"),
@@ -91,6 +106,17 @@ object EDisMax {
           .toDF("term", "docId", "tf").select("docId")
       }.reduce(_ union _).distinct()
       out = out.join(excluded, Seq("docId"), "left_anti")
+    }
+    bf.foreach { fnCol =>
+      // evaluate the boost function over the primary field's docs row
+      // and ADD it (edismax bf is additive; `boost` would multiply).
+      // The join is on docId and the hit set is ≤ corpus but typically
+      // small after mm/must filtering; the docs scan is column-pruned
+      // to what fnCol references.
+      val feats = new RelationalPath(fields.head._1).docsWithId
+        .select(col("docId"), fnCol.as("__bf"))
+      out = out.join(feats, "docId")
+        .withColumn("s", col("s") + col("__bf")).drop("__bf")
     }
     out
       .orderBy(desc("s"), asc("docId"))

@@ -52,6 +52,50 @@ class EDisMaxSpec extends SparkSpec {
     hits.foreach(r => assert(srcOf(r.getLong(1)) === "src1"))
   }
 
+  test("tie: 0 is pure dismax, 1 degrades to plain sum, 0.3 in between") {
+    import org.apache.spark.sql.functions._
+    val fields = Seq(textIdx -> 2.0, urlIdx -> 1.0)
+    val p = EDisMax.parse("spark src3", "0")
+    // tie defaulted ≡ tie = 0 explicitly (same plan branch not required,
+    // same VALUES required)
+    assert(EDisMax.topK(fields, p, 10).collect().toSeq ===
+      EDisMax.topK(fields, p, 10, tie = 0.0).collect().toSeq)
+    // tie = 1 must equal a plain cross-field SUM of boosted partials:
+    // max + 1·(sum − max) = sum
+    val viaTie1 = EDisMax.topK(fields, p, 10, tie = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    val rel = Seq(
+      new RelationalPath(textIdx).scoredTf(Seq("spark", "src3"))
+        .select(col("docId"), col("doc_id"), (col("score") * 2.0).as("ws")),
+      new RelationalPath(urlIdx).scoredTf(Seq("spark", "src3"))
+        .select(col("docId"), col("doc_id"), (col("score") * 1.0).as("ws")))
+      .reduce(_ unionByName _)
+      .groupBy("docId", "doc_id").agg(sum("ws").as("s"))
+      .orderBy(desc("s"), asc("docId")).limit(10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(viaTie1 === rel)
+  }
+
+  test("bf: additive boost function shifts scores by the doc feature") {
+    import org.apache.spark.sql.functions._
+    val fields = Seq(textIdx -> 1.0)
+    val p = EDisMax.parse("spark", "0")
+    // constant bf cannot change the ranking, only the (hidden) score
+    val base = EDisMax.topK(fields, p, 10).collect().toSeq
+    val shifted = EDisMax.topK(fields, p, 10, bf = Some(lit(100.0))).collect().toSeq
+    assert(base === shifted)
+    // dl-dependent bf with a dominating weight ranks by dl among hits
+    val byDl = EDisMax.topK(fields, p, 10,
+      bf = Some(col("dl").cast("double") * 1e6)).collect().map(_.getLong(1)).toSeq
+    val oracle = new RelationalPath(textIdx).scoredTf(Seq("spark"))
+      .groupBy("docId", "doc_id").agg(sum("score").as("s"))
+      .join(new RelationalPath(textIdx).docsWithId.select(col("docId"), col("dl")), "docId")
+      .withColumn("s", col("s") + col("dl").cast("double") * 1e6)
+      .orderBy(desc("s"), asc("docId")).limit(10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(byDl === oracle)
+  }
+
   test("must + mustNot across fields") {
     // +spark (text) -src1 (url): spark docs excluding source=src1
     val hits = EDisMax.topK(Seq(textIdx -> 2.0, urlIdx -> 1.0),
