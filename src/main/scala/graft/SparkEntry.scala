@@ -189,6 +189,14 @@ object SparkEntry {
         Seq(index(s, d) -> 2.0, urlIndex(s, d) -> 1.0), p, 10,
         tie = 0.3, bf = Some(log(col("dl") + lit(1L))))
     }),
+    // edismax pf: docs where the raw positive token sequence occurs as
+    // an exact phrase gain 0.5 · BM25-phrase-score (the Solr `pf`
+    // param; a pure boost — hit set unchanged)
+    "ir_q36_edismax_pf" -> ((s, d) => {
+      val p = graft.search.EDisMax.parse("batch batch", "0")
+      graft.search.EDisMax.topK(Seq(index(s, d) -> 1.0), p, 10,
+        pf = Seq(index(s, d) -> 0.5))
+    }),
     // span/interval proximity (§2.4 P2 row): ordered + unordered near
     "ir_q26_spannear" -> ((s, d) =>
       rel(s, d).spanNearDocs(Seq("spark", "merge"), slop = 3, inOrder = true)),
@@ -587,6 +595,26 @@ object SparkEntry {
           |sel0 AS (SELECT doc_id, sum(ts) AS s0 FROM dmx GROUP BY 1 HAVING count(*) >= 1),
           |sel AS (SELECT sel0.doc_id, s0 + ln(l.dl + 1) AS s
           |  FROM sel0 JOIN dl l USING (doc_id))
+          |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+          |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
+          |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // edismax pf twin: phrase tf via adjacent-pair list comprehension,
+    // phrase idf = 2·idf(batch) (a+a is exact in IEEE, so it equals the
+    // engine's phrase-order idf fold), boost added AFTER the base score
+    "ir_q36_edismax_pf" ->
+      (bm25Cte +
+        """, toklist AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |ph AS (SELECT doc_id, len([i FOR i IN range(1, len(t))
+          |    IF t[i] = 'batch' AND t[i+1] = 'batch'])::DOUBLE AS ptf FROM toklist),
+          |pidf AS (SELECT 2 * ln(1.0 + (cs.n - d.df + 0.5) / (d.df + 0.5)) AS sumidf
+          |  FROM dfs d, cs WHERE d.term = 'batch'),
+          |psc AS (SELECT p.doc_id,
+          |    pidf.sumidf * (p.ptf / (p.ptf + 1.2 * (0.25 + 0.75 * q.dlq / cs.avgdl))) AS ps
+          |  FROM ph p JOIN dlq q USING (doc_id), pidf, cs WHERE p.ptf > 0),
+          |sel AS (SELECT s0.doc_id, s0.s + 0.5 * coalesce(psc.ps, 0.0) AS s
+          |  FROM (SELECT doc_id, score AS s FROM scored WHERE term = 'batch') s0
+          |  LEFT JOIN psc USING (doc_id))
           |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))

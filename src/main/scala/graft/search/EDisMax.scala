@@ -22,8 +22,13 @@ import graft.index.IndexView
   * DisMaxQ over fields inside BooleanQuery over terms. */
 object EDisMax {
 
+  /** @param positional the RAW positive token sequence in query order
+    *        (duplicates kept, must-markers stripped, mustNot excluded) —
+    *        what `pf` phrase-boosts, as Solr builds the implicit phrase
+    *        from the user's token order, not the deduped clause list. */
   final case class Parsed(must: Seq[String], should: Seq[String],
-                          mustNot: Seq[String], mmCount: Int)
+                          mustNot: Seq[String], mmCount: Int,
+                          positional: Seq[String] = Nil)
 
   /** Parse the user string: whitespace-split terms with +/- prefixes;
     * `mm` is an absolute count ("2") or a percentage ("50%", floor of
@@ -45,7 +50,9 @@ object EDisMax {
       if (mm.endsWith("%"))
         math.max(0, mm.dropRight(1).trim.toInt) * effShould.length / 100
       else mm.trim.toInt
-    Parsed(must.distinct, effShould, mustNot.distinct, mmCount)
+    val positional = toks.filterNot(_.startsWith("-"))
+      .map(t => word(if (t.startsWith("+")) t.drop(1) else t))
+    Parsed(must.distinct, effShould, mustNot.distinct, mmCount, positional)
   }
 
   /** Execute over `fields` = (index, boost) per qf entry.
@@ -59,10 +66,17 @@ object EDisMax {
     * @param bf additive boost function [U solr edismax `bf`]: a Column
     *        over the PRIMARY (first qf) field's docs table — e.g.
     *        `log(col("dl") + 1)` — added once per matching doc. Uses
-    *        the same ValueSources registry as function queries. */
+    *        the same ValueSources registry as function queries.
+    * @param pf phrase fields [U solr edismax `pf`]: per (index, boost),
+    *        docs where `p.positional` occurs as an exact phrase gain
+    *        boost · BM25-phrase-score (RelationalPath.phraseScores) —
+    *        a pure BOOST: it never adds or removes hits. Additive
+    *        combine order is pinned: s = Σts, then pf in list order,
+    *        then bf. */
   def topK(fields: Seq[(IndexView, Double)], p: Parsed, k: Int = 10,
            tie: Double = 0.0,
-           bf: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+           bf: Option[org.apache.spark.sql.Column] = None,
+           pf: Seq[(IndexView, Double)] = Nil): DataFrame = {
     require(fields.nonEmpty, "edismax needs at least one qf field")
     val spark = fields.head._1.spark
     val scoredTerms = p.must ++ p.should
@@ -106,6 +120,15 @@ object EDisMax {
           .toDF("term", "docId", "tf").select("docId")
       }.reduce(_ union _).distinct()
       out = out.join(excluded, Seq("docId"), "left_anti")
+    }
+    if (p.positional.length >= 2) pf.foreach { case (idx, boost) =>
+      // phrase boost: left join (a miss keeps the doc, boost 0)
+      val ps = new RelationalPath(idx).phraseScores(p.positional)
+        .select(col("docId"), col("ps"))
+      out = out.join(ps, Seq("docId"), "left")
+        .withColumn("s",
+          col("s") + lit(boost) * coalesce(col("ps"), lit(0.0)))
+        .drop("ps")
     }
     bf.foreach { fnCol =>
       // evaluate the boost function over the primary field's docs row

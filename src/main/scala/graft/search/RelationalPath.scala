@@ -451,4 +451,53 @@ final class RelationalPath(idx: graft.index.IndexView) {
       .join(docsWithId.select("docId", "doc_id"), "docId")
       .select("doc_id").orderBy("doc_id")
   }
+
+  /** BM25-scored exact phrase (PhraseQuery scoring [U lucene/core/
+    * .../search/PhraseQuery.java]: idf = Σ constituent-term idfs in
+    * phrase order WITH multiplicity, tf = phrase frequency) — the
+    * scoring twin of `phraseDocs`, used by edismax `pf` boosts.
+    * Output: (docId, doc_id, ps) for docs where the phrase occurs.
+    * The term-df lookup is a bounded driver collect (≤ |phrase| rows,
+    * the same shape as the Searcher's broadcast term stats). */
+  def phraseScores(terms: Seq[String]): DataFrame = {
+    require(terms.length >= 2, "a phrase needs at least two terms")
+    val dfOf = idx.termStats.filter(col("term").isin(terms.distinct: _*))
+      .select(col("term"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val none = docsWithId.select(col("docId"), col("doc_id"))
+      .limit(0).withColumn("ps", lit(0.0))
+    if (terms.exists(t => !dfOf.contains(t))) return none
+    val n = idx.stats.docCount
+    var sumIdf = 0.0 // phrase-order fold, like the scorer path
+    terms.foreach(t =>
+      sumIdf += math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5)))
+
+    val rows = idx.postings.filter(col("term").isin(terms.distinct: _*))
+    val hits = rows.flatMap { r =>
+      r.blocks.iterator.flatMap { b =>
+        val docs = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
+        val tfs = PFor.decodeInts(b.tfs, b.count)
+        val pos = VarInt.decodePositions(b.positions, tfs)
+        docs.indices.iterator.map(i => (r.term, docs(i), pos(i)))
+      }
+    }.toDF("term", "docId", "pos")
+    val t0 = terms.head
+    val joined = terms.zipWithIndex.tail.foldLeft(
+      hits.filter(col("term") === t0).select(col("docId"), col("pos").as("p0"))) {
+      case (acc, (t, i)) =>
+        acc.join(hits.filter(col("term") === t)
+          .select(col("docId"), col("pos").as(s"p$i")), "docId")
+    }
+    joined
+      .withColumn("ptf", size(filter(col("p0"), p =>
+        terms.indices.tail.map(i => array_contains(col(s"p$i"), p + i))
+          .foldLeft(lit(true))(_ && _))).cast("double"))
+      .filter(col("ptf") > 0)
+      .join(docsWithId.select(col("docId"), col("dlq"), col("doc_id")), "docId")
+      .withColumn("ps",
+        lit(sumIdf) * (col("ptf") /
+          (col("ptf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dlq").cast("double") / lit(avgdlD)))))
+      .select(col("docId"), col("doc_id"), col("ps"))
+  }
 }

@@ -96,6 +96,29 @@ class EDisMaxSpec extends SparkSpec {
     assert(byDl === oracle)
   }
 
+  test("pf: phrase boost never changes the hit set, boosts phrase docs") {
+    val p = EDisMax.parse("batch batch", "0")
+    assert(p.positional === Seq("batch", "batch")) // raw order, dups kept
+    assert(p.should === Seq("batch"))              // deduped clause list
+    val fields = Seq(textIdx -> 1.0)
+    val base = EDisMax.topK(fields, p, 1000).collect().map(_.getLong(1)).toSet
+    val boosted = EDisMax.topK(fields, p, 1000, pf = fields).collect()
+    assert(boosted.map(_.getLong(1)).toSet === base) // pure boost
+    // with a DOMINATING pf boost every phrase doc outranks every
+    // non-phrase doc
+    val phraseDocs = new RelationalPath(textIdx)
+      .phraseDocs(Seq("batch", "batch")).collect().map(_.getLong(0)).toSet
+    assert(phraseDocs.nonEmpty)
+    val dom = EDisMax.topK(fields, p, 1000, pf = Seq(textIdx -> 1e9))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    assert(dom.take(phraseDocs.size).toSet === phraseDocs)
+    // phraseScores agrees with phraseDocs on the matching set
+    val psDocs = new RelationalPath(textIdx)
+      .phraseScores(Seq("batch", "batch")).collect()
+    assert(psDocs.map(_.getLong(1)).toSet === phraseDocs)
+    psDocs.foreach(r => assert(r.getDouble(2) > 0.0))
+  }
+
   test("must + mustNot across fields") {
     // +spark (text) -src1 (url): spark docs excluding source=src1
     val hits = EDisMax.topK(Seq(textIdx -> 2.0, urlIdx -> 1.0),
