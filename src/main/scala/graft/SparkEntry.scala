@@ -197,6 +197,21 @@ object SparkEntry {
       graft.search.EDisMax.topK(Seq(index(s, d) -> 1.0), p, 10,
         pf = Seq(index(s, d) -> 0.5))
     }),
+    // MoreLikeThis (§2.12): doc 42's top tf·idf terms become an OR
+    // query; ranked like any disjunction. The seed-doc lookup is a
+    // driver-side single-row fetch (the reference's MLT reads the
+    // source doc the same way)
+    "ir_q37_mlt" -> ((s, d) => {
+      val text = s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") === 42L).head().getAs[String]("text")
+      // maxTerms = 2: a two-element float sum is order-exact in IEEE,
+      // so the gate is immune to aggregation-order noise (5-term sums
+      // flipped near-tied ranks between runs on BOTH engines)
+      val q = graft.search.MoreLikeThis.fromText(index(s, d), text, maxTerms = 2)
+      val terms = q.asInstanceOf[graft.search.BoolQ].should
+        .collect { case graft.search.TermQ(t) => t }
+      rel(s, d).orTopK(terms, 1, 10)
+    }),
     // span/interval proximity (§2.4 P2 row): ordered + unordered near
     "ir_q26_spannear" -> ((s, d) =>
       rel(s, d).spanNearDocs(Seq("spark", "merge"), slop = 3, inOrder = true)),
@@ -615,6 +630,27 @@ object SparkEntry {
           |sel AS (SELECT s0.doc_id, s0.s + 0.5 * coalesce(psc.ps, 0.0) AS s
           |  FROM (SELECT doc_id, score AS s FROM scored WHERE term = 'batch') s0
           |  LEFT JOIN psc USING (doc_id))
+          |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+          |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
+          |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // MLT twin: the seed doc's per-term tf from its own token list,
+    // tf·idf ranked (score DESC, term ASC), top 2 OR-ed through the
+    // standard BM25 rank — every arithmetic op mirrored (2-element
+    // sums are IEEE-order-exact; see the engine-side comment)
+    "ir_q37_mlt" ->
+      (bm25Cte +
+        """, seedtok AS (SELECT unnest(string_split(text, ' ')) AS term
+          |    FROM documents WHERE doc_id = 42),
+          |seedtf AS (SELECT term, count(*)::BIGINT AS ftf FROM seedtok GROUP BY 1),
+          |mlt AS (SELECT s.term,
+          |    s.ftf * ln(1.0 + (cs.n - d.df + 0.5) / (d.df + 0.5)) AS ms
+          |  FROM seedtf s JOIN dfs d USING (term), cs),
+          |top5 AS (SELECT term FROM (
+          |    SELECT term, row_number() OVER (ORDER BY ms DESC, term ASC) AS rn
+          |    FROM mlt) WHERE rn <= 2),
+          |sel AS (SELECT doc_id, sum(score) AS s FROM scored
+          |  WHERE term IN (SELECT term FROM top5) GROUP BY doc_id)
           |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
