@@ -291,6 +291,16 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
       Ann.lshTopK(emb, q, 5, dim = 64, numPlanes = 6)
     }),
+    // IVF-Flat ANN: fixed-point k-means coarse quantizer (nList=4, one
+    // refinement round), nProbe=2 probed clusters per query, exact
+    // in-cluster cosine re-rank — the second scale path beside SRP-LSH
+    "ann_ivf" -> ((s, d) => {
+      val emb = tpch(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      Ann.ivfTopK(emb, q, 5, nList = 4, nProbe = 2, iters = 1)
+    }),
     // ---- reference streaming-expression / facet analogues (§2.5-2.7) ----
     "sx_facet_field" -> ((s, d) => docsTable(s, d)
       .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")),
@@ -882,6 +892,56 @@ object SparkEntry {
         |     FROM c1) ORDER BY d, c LIMIT 1) AS cluster
         |  FROM fx f)
         |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    // IVF twin: the ENTIRE pipeline restated — fixed-point k-means
+    // (shared with sx_kmeans), integer centroid-distance probe ranking
+    // (d, c) ties-to-lowest like the engine's sorted structs, candidate
+    // clusters, then the bit-identical fold-order cosine re-rank
+    "ann_ivf" ->
+      """WITH fx AS (SELECT vec_id, list_transform(embedding, v -> CAST(round(v::DOUBLE * 1048576) AS BIGINT)) AS fx FROM embeddings),
+        |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS c, fx FROM (SELECT vec_id, fx FROM fx ORDER BY vec_id LIMIT 4)),
+        |a1 AS (SELECT f.vec_id,
+        |  (SELECT c FROM (
+        |     SELECT c0.c AS c, list_reduce(list_prepend(0::BIGINT,
+        |       list_transform(generate_series(1, len(f.fx)), i -> (f.fx[i] - c0.fx[i]) * (f.fx[i] - c0.fx[i]))),
+        |       (a,x) -> a + x) AS d
+        |     FROM c0) ORDER BY d, c LIMIT 1) AS cluster
+        |  FROM fx f),
+        |sums AS (SELECT a1.cluster AS c, g.i AS pos, sum(f.fx[g.i]) AS s, count(*) AS n
+        |  FROM a1 JOIN fx f USING (vec_id) CROSS JOIN generate_series(1, 64) g(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT c0.c, coalesce(u.fx2, c0.fx) AS fx
+        |  FROM c0 LEFT JOIN (
+        |    SELECT c, list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY pos) AS fx2 FROM sums GROUP BY c) u
+        |  USING (c)),
+        |a2 AS (SELECT f.vec_id,
+        |  (SELECT c FROM (
+        |     SELECT c1.c AS c, list_reduce(list_prepend(0::BIGINT,
+        |       list_transform(generate_series(1, len(f.fx)), i -> (f.fx[i] - c1.fx[i]) * (f.fx[i] - c1.fx[i]))),
+        |       (a,x) -> a + x) AS d
+        |     FROM c1) ORDER BY d, c LIMIT 1) AS cluster
+        |  FROM fx f),
+        |qfx AS (SELECT vec_id AS q_id, fx FROM fx WHERE vec_id < 8),
+        |qd AS (SELECT q.q_id, c1.c,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, len(q.fx)), i -> (q.fx[i] - c1.fx[i]) * (q.fx[i] - c1.fx[i]))),
+        |      (a,x) -> a + x) AS d
+        |  FROM qfx q CROSS JOIN c1),
+        |probe AS (SELECT q_id, c AS cluster FROM (
+        |    SELECT q_id, c, row_number() OVER (PARTITION BY q_id ORDER BY d, c) AS rn FROM qd)
+        |  WHERE rn <= 2),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |cand AS (SELECT p.q_id, a2.vec_id FROM probe p JOIN a2 ON a2.cluster = p.cluster),
+        |pairs AS (SELECT cd.q_id, cd.vec_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.embedding)),
+        |      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (a,x) -> a + x)
+        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(e.embedding)),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len(q.qe)),
+        |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)), (a,x) -> a + x))) AS cos
+        | FROM cand cd JOIN e ON e.vec_id = cd.vec_id JOIN q ON q.q_id = cd.q_id),
+        |r AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank FROM pairs)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "sx_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 3),
         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 3),

@@ -97,6 +97,44 @@ object Ann {
       col("e.vec_id").as("vec_id")), k)
   }
 
+  /** IVF-Flat ANN — the coarse-quantizer scale path (FAISS IVF shape)
+    * beside the SRP-LSH one: `nList` fixed-point k-means centroids
+    * (deterministic at ANY cluster size — KMeans' design invariant),
+    * every corpus vector assigned by the pure-codegen argmin, each
+    * query probing its `nProbe` nearest centroids, exact cosine re-rank
+    * inside the probed clusters via the bounded TopKAggregator.
+    *
+    * 100 TB shape: training shuffles k·d-row sums only; assignment is a
+    * map-side Column; the candidate equi-join on cluster id reads
+    * ~nProbe/nList of the corpus per query instead of all of it, and no
+    * stage ever materializes more than k rows per query past the
+    * partial heaps. Recall is measured against bruteTopK in tests.
+    * Output: (q_id, rank, vec_id). */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nList: Int, nProbe: Int, iters: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nList, s"nProbe $nProbe ∉ [1, $nList]")
+    val (_, cents) = KMeans.fit(embeddings, nList, iters)
+    val assigned = embeddings
+      .withColumn("fx", KMeans.fxCol(col("embedding")))
+      .withColumn("cluster", KMeans.assignCol(cents))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    // per-query probe list: sort the nList (dist, c) structs, keep
+    // nProbe — same (d, c) tie order as assignment; queries are small,
+    // so the exploded probe table broadcasts
+    val probeStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(KMeans.distTo(c, col("qfx")).as("d"), lit(i).as("c"))
+    }: _*)
+    val probes = queries
+      .withColumn("qfx", KMeans.fxCol(col("q_embedding")))
+      .withColumn("probe", slice(sort_array(probeStructs), 1, nProbe))
+      .select(col("q_id"), col("q_embedding"), explode(col("probe")).as("pr"))
+      .select(col("q_id"), col("q_embedding"), col("pr.c").as("cluster"))
+    val joined = assigned.as("e").join(broadcast(probes.as("q")), "cluster")
+      .withColumn("cos", cosine(col("e.embedding"), col("q.q_embedding")))
+    topKRank(joined.select(col("q.q_id").as("q_id"), col("cos"),
+      col("e.vec_id").as("vec_id")), k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold)
     * via SRP bucketing + in-bucket verification. The bucket self-join is
     * triangle-split so a degenerate bucket (e.g. all-zero embeddings)

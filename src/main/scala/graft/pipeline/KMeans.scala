@@ -33,21 +33,28 @@ object KMeans {
 
   val Scale = 1L << 20
 
+  /** Fixed-point view of one embedding column. */
+  def fxCol(emb: Column): Column =
+    transform(emb, v => round(v.cast("double") * Scale).cast("long"))
+
   /** Fixed-point view: (vec_id, fx array<long>). */
   def fixedPoint(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
-      transform(col("embedding"),
-        v => round(v.cast("double") * Scale).cast("long")).as("fx"))
+    embeddings.select(col("vec_id"), fxCol(col("embedding")).as("fx"))
 
-  private def distTo(cent: Array[Long]): Column =
+  /** Exact integer squared L2 from a fixed-point vector column to one
+    * centroid literal. */
+  def distTo(cent: Array[Long], fx: Column): Column =
     aggregate(
-      zip_with(col("fx"), typedLit(cent.toSeq),
+      zip_with(fx, typedLit(cent.toSeq),
         (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, x) => acc + x)
 
+  private def distTo(cent: Array[Long]): Column = distTo(cent, col("fx"))
+
   /** Assignment column: struct-lexicographic least over (dist, id) —
-    * ties resolve to the lowest cluster id. */
-  private def assignCol(cents: Seq[Array[Long]]): Column =
+    * ties resolve to the lowest cluster id. Shared with the IVF probe
+    * path (Ann.ivfTopK). */
+  def assignCol(cents: Seq[Array[Long]]): Column =
     least(cents.zipWithIndex.map { case (c, i) =>
       struct(distTo(c).as("d"), lit(i).as("c"))
     }: _*).getField("c")

@@ -87,6 +87,32 @@ class PipelineSpec extends SparkSpec {
     assert(recall > 0.25, s"LSH recall $recall too low") // 4 planes, 1 probe
   }
 
+  test("ANN: IVF recall vs brute force; full probe = exact; plan bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val brute = Ann.bruteTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // probing EVERY list searches the whole corpus ⇒ identical to brute
+    val full = Ann.ivfTopK(emb, q, 5, nList = 4, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(full === brute)
+    // nProbe=2 of 4: approximate but each query still finds itself, and
+    // recall stays reasonable on real embeddings
+    val ivf = Ann.ivfTopK(emb, q, 5, nList = 4, nProbe = 2).collect()
+    ivf.filter(_.getInt(1) == 1).foreach(r => assert(r.getLong(0) === r.getLong(2)))
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bruteSet = brute.map(t => (t._1, t._3)).toSet
+    val recall = (bruteSet intersect ivfSet).size.toDouble / bruteSet.size
+    assert(recall > 0.4, s"IVF recall $recall too low")
+    // plan: bounded aggregator ranking, no Window over unbounded input
+    val p = Ann.ivfTopK(emb, q, 5, nList = 4, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"Window in IVF plan:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+  }
+
   test("boundedSelfJoinPairs == naive self-join pairs (tiny cap forces splits)") {
     import spark.implicits._
     // random-ish buckets: 60 rows over 5 buckets, cap 4 ⇒ every bucket
