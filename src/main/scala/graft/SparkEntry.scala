@@ -212,6 +212,14 @@ object SparkEntry {
         .collect { case graft.search.TermQ(t) => t }
       rel(s, d).orTopK(terms, 1, 10)
     }),
+    // highlighting (§2.12, UnifiedHighlighter role): best 8-token
+    // window by query-term match count (earliest tie), matches wrapped
+    // in <em> — per doc over the whole corpus
+    "ir_q38_highlight" -> ((s, d) =>
+      docsTable(s, d).select(col("doc_id"),
+        graft.search.Highlighter.highlightCol(
+          col("text"), Seq("spark", "merge"), window = 8).as("snippet"))
+        .orderBy("doc_id")),
     // span/interval proximity (§2.4 P2 row): ordered + unordered near
     "ir_q26_spannear" -> ((s, d) =>
       rel(s, d).spanNearDocs(Seq("spark", "merge"), slop = 3, inOrder = true)),
@@ -644,6 +652,30 @@ object SparkEntry {
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
           |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // highlight twin: the whole best-window algorithm in list SQL —
+    // match bitmap, sliding-window sums, list_position = earliest-max
+    // (the engine's tie rule), <em>-wrap + single-space rejoin (the
+    // fixture separator, same assumption as every tokenizing oracle)
+    "ir_q38_highlight" ->
+      """WITH hl AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    LEAST(8, len(string_split(text, ' '))) AS w,
+        |    list_transform(string_split(text, ' '),
+        |      x -> CASE WHEN x IN ('spark', 'merge') THEN 1 ELSE 0 END) AS m
+        |  FROM documents),
+        |sc AS (SELECT doc_id, t, m, w,
+        |    [list_sum(m[i:i+w-1]) FOR i IN range(1, len(t) - w + 2)] AS scores
+        |  FROM hl),
+        |b AS (SELECT doc_id, t, m, w,
+        |    list_aggregate(scores, 'max') AS bc,
+        |    list_position(scores, list_aggregate(scores, 'max')) AS bi
+        |  FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN bc IS NULL OR bc <= 0 THEN ''
+        |    ELSE array_to_string(
+        |      [CASE WHEN m[j] = 1 THEN '<em>' || t[j] || '</em>' ELSE t[j] END
+        |       FOR j IN range(bi, bi + w)], ' ')
+        |  END AS snippet
+        |FROM b ORDER BY doc_id""".stripMargin,
     // MLT twin: the seed doc's per-term tf from its own token list,
     // tf·idf ranked (score DESC, term ASC), top 2 OR-ed through the
     // standard BM25 rank — every arithmetic op mirrored (2-element
