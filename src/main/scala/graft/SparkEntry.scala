@@ -212,6 +212,13 @@ object SparkEntry {
         .collect { case graft.search.TermQ(t) => t }
       rel(s, d).orTopK(terms, 1, 10)
     }),
+    // edismax pf2: every adjacent bigram of the positional order is
+    // phrase-boosted (Solr pf2 shingles); 3-term query → 2 bigrams
+    "ir_q39_edismax_pf2" -> ((s, d) => {
+      val p = graft.search.EDisMax.parse("batch batch merge", "0")
+      graft.search.EDisMax.topK(Seq(index(s, d) -> 1.0), p, 10,
+        pf2 = Seq(index(s, d) -> 0.4))
+    }),
     // highlighting (§2.12, UnifiedHighlighter role): best 8-token
     // window by query-term match count (earliest tie), matches wrapped
     // in <em> — per doc over the whole corpus
@@ -648,6 +655,34 @@ object SparkEntry {
           |sel AS (SELECT s0.doc_id, s0.s + 0.5 * coalesce(psc.ps, 0.0) AS s
           |  FROM (SELECT doc_id, score AS s FROM scored WHERE term = 'batch') s0
           |  LEFT JOIN psc USING (doc_id))
+          |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+          |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
+          |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // pf2 twin: per-bigram phrase tf via adjacent-pair comprehension,
+    // idf sums written as explicit two-operand adds in phrase order,
+    // boosts nested in gram order after the base sum (engine fold)
+    "ir_q39_edismax_pf2" ->
+      (bm25Cte +
+        """, toklist AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |idf AS (SELECT term, ln(1.0 + (cs.n - df + 0.5) / (df + 0.5)) AS v FROM dfs, cs),
+          |ph1 AS (SELECT doc_id, len([i FOR i IN range(1, len(t))
+          |    IF t[i] = 'batch' AND t[i+1] = 'batch'])::DOUBLE AS ptf FROM toklist),
+          |ph2 AS (SELECT doc_id, len([i FOR i IN range(1, len(t))
+          |    IF t[i] = 'batch' AND t[i+1] = 'merge'])::DOUBLE AS ptf FROM toklist),
+          |ps1 AS (SELECT p.doc_id,
+          |    ((SELECT v FROM idf WHERE term = 'batch') + (SELECT v FROM idf WHERE term = 'batch'))
+          |      * (p.ptf / (p.ptf + 1.2 * (0.25 + 0.75 * q.dlq / cs.avgdl))) AS ps
+          |  FROM ph1 p JOIN dlq q USING (doc_id), cs WHERE p.ptf > 0),
+          |ps2 AS (SELECT p.doc_id,
+          |    ((SELECT v FROM idf WHERE term = 'batch') + (SELECT v FROM idf WHERE term = 'merge'))
+          |      * (p.ptf / (p.ptf + 1.2 * (0.25 + 0.75 * q.dlq / cs.avgdl))) AS ps
+          |  FROM ph2 p JOIN dlq q USING (doc_id), cs WHERE p.ptf > 0),
+          |sel AS (SELECT s0.doc_id,
+          |    (s0.s + 0.4 * coalesce(ps1.ps, 0.0)) + 0.4 * coalesce(ps2.ps, 0.0) AS s
+          |  FROM (SELECT doc_id, sum(score) AS s FROM scored
+          |        WHERE term IN ('batch','merge') GROUP BY doc_id) s0
+          |  LEFT JOIN ps1 USING (doc_id) LEFT JOIN ps2 USING (doc_id))
           |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))

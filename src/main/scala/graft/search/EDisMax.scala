@@ -70,13 +70,19 @@ object EDisMax {
     * @param pf phrase fields [U solr edismax `pf`]: per (index, boost),
     *        docs where `p.positional` occurs as an exact phrase gain
     *        boost · BM25-phrase-score (RelationalPath.phraseScores) —
-    *        a pure BOOST: it never adds or removes hits. Additive
-    *        combine order is pinned: s = Σts, then pf in list order,
-    *        then bf. */
+    *        a pure BOOST: it never adds or removes hits.
+    * @param pf2 bigram phrase fields [U solr edismax `pf2`]: every
+    *        ADJACENT PAIR of `p.positional` is phrase-boosted the same
+    *        way (Solr builds bigram shingles of the user's token
+    *        order); `pf3` is the trigram analogue. Additive combine
+    *        order is pinned: s = Σts, then pf/pf2/pf3 (each field in
+    *        list order, grams left to right), then bf. */
   def topK(fields: Seq[(IndexView, Double)], p: Parsed, k: Int = 10,
            tie: Double = 0.0,
            bf: Option[org.apache.spark.sql.Column] = None,
-           pf: Seq[(IndexView, Double)] = Nil): DataFrame = {
+           pf: Seq[(IndexView, Double)] = Nil,
+           pf2: Seq[(IndexView, Double)] = Nil,
+           pf3: Seq[(IndexView, Double)] = Nil): DataFrame = {
     require(fields.nonEmpty, "edismax needs at least one qf field")
     val spark = fields.head._1.spark
     val scoredTerms = p.must ++ p.should
@@ -121,15 +127,26 @@ object EDisMax {
       }.reduce(_ union _).distinct()
       out = out.join(excluded, Seq("docId"), "left_anti")
     }
-    if (p.positional.length >= 2) pf.foreach { case (idx, boost) =>
-      // phrase boost: left join (a miss keeps the doc, boost 0)
-      val ps = new RelationalPath(idx).phraseScores(p.positional)
-        .select(col("docId"), col("ps"))
-      out = out.join(ps, Seq("docId"), "left")
-        .withColumn("s",
-          col("s") + lit(boost) * coalesce(col("ps"), lit(0.0)))
-        .drop("ps")
-    }
+    // phrase boosts: full phrase (pf), bigram (pf2), trigram (pf3)
+    // shingles of the positional order; each is a left join (a miss
+    // keeps the doc, boost 0), fields in list order, grams left→right
+    def addPhraseBoosts(pfN: Seq[(IndexView, Double)], n: Int): Unit =
+      if (p.positional.length >= n) pfN.foreach { case (idx, boost) =>
+        val grams =
+          if (n == 0) Seq(p.positional) // pf: the whole phrase
+          else p.positional.sliding(n).toSeq
+        grams.foreach { gram =>
+          val ps = new RelationalPath(idx).phraseScores(gram)
+            .select(col("docId"), col("ps"))
+          out = out.join(ps, Seq("docId"), "left")
+            .withColumn("s",
+              col("s") + lit(boost) * coalesce(col("ps"), lit(0.0)))
+            .drop("ps")
+        }
+      }
+    if (p.positional.length >= 2) addPhraseBoosts(pf, 0)
+    addPhraseBoosts(pf2, 2)
+    addPhraseBoosts(pf3, 3)
     bf.foreach { fnCol =>
       // evaluate the boost function over the primary field's docs row
       // and ADD it (edismax bf is additive; `boost` would multiply).

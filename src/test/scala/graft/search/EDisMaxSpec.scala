@@ -119,6 +119,22 @@ class EDisMaxSpec extends SparkSpec {
     psDocs.foreach(r => assert(r.getDouble(2) > 0.0))
   }
 
+  test("pf2/pf3: bigram shingles; 2-term pf2 ≡ pf; pure boost") {
+    val fields = Seq(textIdx -> 1.0)
+    val p2 = EDisMax.parse("batch batch", "0")
+    // one bigram of a 2-term query IS the whole phrase
+    assert(EDisMax.topK(fields, p2, 10, pf2 = fields).collect().toSeq ===
+      EDisMax.topK(fields, p2, 10, pf = fields).collect().toSeq)
+    val p3 = EDisMax.parse("batch batch merge", "0")
+    val base = EDisMax.topK(fields, p3, 1000).collect().map(_.getLong(1)).toSet
+    val boosted = EDisMax.topK(fields, p3, 1000,
+      pf2 = Seq(textIdx -> 0.4), pf3 = Seq(textIdx -> 0.2)).collect()
+    assert(boosted.map(_.getLong(1)).toSet === base) // hit set unchanged
+    // pf3 on a 2-term query is a no-op
+    assert(EDisMax.topK(fields, p2, 10, pf3 = fields).collect().toSeq ===
+      EDisMax.topK(fields, p2, 10).collect().toSeq)
+  }
+
   test("must + mustNot across fields") {
     // +spark (text) -src1 (url): spark docs excluding source=src1
     val hits = EDisMax.topK(Seq(textIdx -> 2.0, urlIdx -> 1.0),
