@@ -336,6 +336,13 @@ object SparkEntry {
       .join(tpch(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       .orderBy("o_orderpriority")),
+    // /export handler role [U solr/core/.../handler/export/]: the FULL
+    // filtered result set in stable multi-field sort order (what
+    // streaming expressions consume) — no top-k cutoff
+    "sx_export" -> ((s, d) => docsTable(s, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(desc("source"), asc("doc_id"))),
     "sx_rank" -> ((s, d) => tpch(s, d, "orders")
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       .limit(10)
@@ -1072,6 +1079,9 @@ object SparkEntry {
     "sx_mergejoin" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sx_export" ->
+      """SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'
+        |ORDER BY source DESC, doc_id ASC""".stripMargin,
     "sx_rank" ->
       """SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank,
         |o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
