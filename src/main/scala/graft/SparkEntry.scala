@@ -730,11 +730,11 @@ object SparkEntry {
           |mlt AS (SELECT s.term,
           |    s.ftf * ln(1.0 + (cs.n - d.df + 0.5) / (d.df + 0.5)) AS ms
           |  FROM seedtf s JOIN dfs d USING (term), cs),
-          |top5 AS (SELECT term FROM (
+          |top2 AS (SELECT term FROM (
           |    SELECT term, row_number() OVER (ORDER BY ms DESC, term ASC) AS rn
           |    FROM mlt) WHERE rn <= 2),
           |sel AS (SELECT doc_id, sum(score) AS s FROM scored
-          |  WHERE term IN (SELECT term FROM top5) GROUP BY doc_id)
+          |  WHERE term IN (SELECT term FROM top2) GROUP BY doc_id)
           |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))

@@ -116,7 +116,7 @@ object Ann {
     val (_, cents) = KMeans.fit(embeddings, nList, iters)
     val assigned = embeddings
       .withColumn("fx", KMeans.fxCol(col("embedding")))
-      .withColumn("cluster", KMeans.assignCol(cents))
+      .withColumn("cluster", KMeans.assignCol(cents, col("fx")))
       .select(col("vec_id"), col("embedding"), col("cluster"))
     // per-query probe list: sort the nList (dist, c) structs, keep
     // nProbe — same (d, c) tie order as assignment; queries are small,

@@ -49,15 +49,17 @@ object KMeans {
         (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, x) => acc + x)
 
-  private def distTo(cent: Array[Long]): Column = distTo(cent, col("fx"))
-
   /** Assignment column: struct-lexicographic least over (dist, id) —
-    * ties resolve to the lowest cluster id. Shared with the IVF probe
-    * path (Ann.ivfTopK). */
-  def assignCol(cents: Seq[Array[Long]]): Column =
+    * ties resolve to the lowest cluster id, over an EXPLICIT
+    * fixed-point vector column. Shared with the IVF path
+    * (Ann.ivfTopK). */
+  def assignCol(cents: Seq[Array[Long]], fx: Column): Column =
     least(cents.zipWithIndex.map { case (c, i) =>
-      struct(distTo(c).as("d"), lit(i).as("c"))
+      struct(distTo(c, fx).as("d"), lit(i).as("c"))
     }: _*).getField("c")
+
+  private def assignCol(cents: Seq[Array[Long]]): Column =
+    assignCol(cents, col("fx"))
 
   /** Run `iters` refinement rounds from the deterministic init; return
     * (assignments (vec_id, cluster), centroids (cluster, fx)). */

@@ -28,7 +28,7 @@ object EDisMax {
     *        from the user's token order, not the deduped clause list. */
   final case class Parsed(must: Seq[String], should: Seq[String],
                           mustNot: Seq[String], mmCount: Int,
-                          positional: Seq[String] = Nil)
+                          positional: Seq[String])
 
   /** Parse the user string: whitespace-split terms with +/- prefixes;
     * `mm` is an absolute count ("2") or a percentage ("50%", floor of
@@ -129,14 +129,24 @@ object EDisMax {
     }
     // phrase boosts: full phrase (pf), bigram (pf2), trigram (pf3)
     // shingles of the positional order; each is a left join (a miss
-    // keeps the doc, boost 0), fields in list order, grams left→right
+    // keeps the doc, boost 0), fields in list order, grams left→right.
+    // The positional terms' position table + df lookup are built ONCE
+    // per distinct field — one dictionary collect and one decode
+    // definition shared by every gram, not one per gram.
+    val phraseCtx = scala.collection.mutable.HashMap
+      .empty[IndexView, (org.apache.spark.sql.DataFrame, Map[String, Long])]
+    def ctxFor(idx: IndexView) = phraseCtx.getOrElseUpdate(idx, {
+      val rel = new RelationalPath(idx)
+      (rel.positionsTable(p.positional), rel.termDfs(p.positional))
+    })
     def addPhraseBoosts(pfN: Seq[(IndexView, Double)], n: Int): Unit =
       if (p.positional.length >= n) pfN.foreach { case (idx, boost) =>
         val grams =
           if (n == 0) Seq(p.positional) // pf: the whole phrase
           else p.positional.sliding(n).toSeq
+        val (hits, dfOf) = ctxFor(idx)
         grams.foreach { gram =>
-          val ps = new RelationalPath(idx).phraseScores(gram)
+          val ps = new RelationalPath(idx).phraseScoresFrom(hits, dfOf, gram)
             .select(col("docId"), col("ps"))
           out = out.join(ps, Seq("docId"), "left")
             .withColumn("s",

@@ -376,6 +376,27 @@ final class RelationalPath(idx: graft.index.IndexView) {
     rankTopK(p.join(f, Seq("docId"), "left_semi"), k)
   }
 
+  /** Decoded per-(term, doc) position lists for `terms` — the shared
+    * position source of spanNearDocs / phraseDocs / phraseScores (one
+    * place knows the block/position format). */
+  private[search] def positionsTable(terms: Seq[String]): DataFrame =
+    idx.postings.filter(col("term").isin(terms.distinct: _*))
+      .flatMap { r =>
+        r.blocks.iterator.flatMap { b =>
+          val docs = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
+          val tfs = PFor.decodeInts(b.tfs, b.count)
+          val pos = VarInt.decodePositions(b.positions, tfs)
+          docs.indices.iterator.map(i => (r.term, docs(i), pos(i)))
+        }
+      }.toDF("term", "docId", "pos")
+
+  /** Bounded driver lookup of the terms' document frequencies (the
+    * same shape as the Searcher's broadcast term stats). */
+  private[search] def termDfs(terms: Seq[String]): Map[String, Long] =
+    idx.termStats.filter(col("term").isin(terms.distinct: _*))
+      .select(col("term"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Span-near matching docs (ascending doc_id), two-phase like the
     * scorer path [U lucene/core/.../search/spans/SpanNearQuery.java]:
     *
@@ -394,15 +415,7 @@ final class RelationalPath(idx: graft.index.IndexView) {
       .agg(countDistinct("term").as("nt"))
       .filter(col("nt") === distinctTerms.length)
       .select("docId")
-    val rows = idx.postings.filter(col("term").isin(distinctTerms: _*))
-    val hits = rows.flatMap { r =>
-      r.blocks.iterator.flatMap { b =>
-        val docs = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
-        val tfs = PFor.decodeInts(b.tfs, b.count)
-        val pos = VarInt.decodePositions(b.positions, tfs)
-        docs.indices.iterator.map(i => (r.term, docs(i), pos(i)))
-      }
-    }.toDF("term", "docId", "pos")
+    val hits = positionsTable(distinctTerms)
     val qTerms = terms
     val verified = hits.join(cands, "docId") // k-way docId pre-intersection
       .select(col("docId").cast("long"), col("term"), col("pos"))
@@ -424,25 +437,8 @@ final class RelationalPath(idx: graft.index.IndexView) {
 
   /** Exact-phrase matching docs (ascending doc_id), two-phase:
     * conjunction candidates, then position verification. */
-  def phraseDocs(terms: Seq[String]): DataFrame = {
-    val rows = idx.postings.filter(col("term").isin(terms: _*))
-    val hits = rows.flatMap { r =>
-      r.blocks.iterator.flatMap { b =>
-        val docs = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
-        val tfs = PFor.decodeInts(b.tfs, b.count)
-        val pos = VarInt.decodePositions(b.positions, tfs)
-        docs.indices.iterator.map(i => (r.term, docs(i), pos(i)))
-      }
-    }.toDF("term", "docId", "pos")
-    val t0 = terms.head
-    val joined = terms.zipWithIndex.tail.foldLeft(
-      hits.filter(col("term") === t0).select(col("docId"), col("pos").as("p0"))) {
-      case (acc, (t, i)) =>
-        acc.join(hits.filter(col("term") === t)
-          .select(col("docId"), col("pos").as(s"p$i")), "docId")
-    }
-    // any position p in p0 with p+i present in every p_i
-    joined
+  def phraseDocs(terms: Seq[String]): DataFrame =
+    phraseJoined(positionsTable(terms), terms)
       .withColumn("ph",
         exists(col("p0"), p =>
           terms.indices.tail.map(i => array_contains(col(s"p$i"), p + i))
@@ -450,7 +446,18 @@ final class RelationalPath(idx: graft.index.IndexView) {
       .filter(col("ph"))
       .join(docsWithId.select("docId", "doc_id"), "docId")
       .select("doc_id").orderBy("doc_id")
-  }
+
+  /** k-way docId position join: (docId, p0..p_{k-1}) for docs holding
+    * every phrase term — shared by phraseDocs (existence) and
+    * phraseScores (frequency). */
+  private def phraseJoined(hits: DataFrame, terms: Seq[String]): DataFrame =
+    terms.zipWithIndex.tail.foldLeft(
+      hits.filter(col("term") === terms.head)
+        .select(col("docId"), col("pos").as("p0"))) {
+      case (acc, (t, i)) =>
+        acc.join(hits.filter(col("term") === t)
+          .select(col("docId"), col("pos").as(s"p$i")), "docId")
+    }
 
   /** BM25-scored exact phrase (PhraseQuery scoring [U lucene/core/
     * .../search/PhraseQuery.java]: idf = Σ constituent-term idfs in
@@ -459,11 +466,17 @@ final class RelationalPath(idx: graft.index.IndexView) {
     * Output: (docId, doc_id, ps) for docs where the phrase occurs.
     * The term-df lookup is a bounded driver collect (≤ |phrase| rows,
     * the same shape as the Searcher's broadcast term stats). */
-  def phraseScores(terms: Seq[String]): DataFrame = {
+  def phraseScores(terms: Seq[String]): DataFrame =
+    phraseScoresFrom(positionsTable(terms), termDfs(terms), terms)
+
+  /** phraseScores over a PRE-BUILT position table + df lookup, so a
+    * caller boosting many grams of the same token set (edismax
+    * pf/pf2/pf3) pays ONE dictionary collect and shares one decode
+    * definition instead of one per gram. */
+  private[search] def phraseScoresFrom(hits: DataFrame,
+                                       dfOf: Map[String, Long],
+                                       terms: Seq[String]): DataFrame = {
     require(terms.length >= 2, "a phrase needs at least two terms")
-    val dfOf = idx.termStats.filter(col("term").isin(terms.distinct: _*))
-      .select(col("term"), col("df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val none = docsWithId.select(col("docId"), col("doc_id"))
       .limit(0).withColumn("ps", lit(0.0))
     if (terms.exists(t => !dfOf.contains(t))) return none
@@ -471,24 +484,7 @@ final class RelationalPath(idx: graft.index.IndexView) {
     var sumIdf = 0.0 // phrase-order fold, like the scorer path
     terms.foreach(t =>
       sumIdf += math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5)))
-
-    val rows = idx.postings.filter(col("term").isin(terms.distinct: _*))
-    val hits = rows.flatMap { r =>
-      r.blocks.iterator.flatMap { b =>
-        val docs = PFor.decodeDeltas(b.docs, b.count, b.firstDocId)
-        val tfs = PFor.decodeInts(b.tfs, b.count)
-        val pos = VarInt.decodePositions(b.positions, tfs)
-        docs.indices.iterator.map(i => (r.term, docs(i), pos(i)))
-      }
-    }.toDF("term", "docId", "pos")
-    val t0 = terms.head
-    val joined = terms.zipWithIndex.tail.foldLeft(
-      hits.filter(col("term") === t0).select(col("docId"), col("pos").as("p0"))) {
-      case (acc, (t, i)) =>
-        acc.join(hits.filter(col("term") === t)
-          .select(col("docId"), col("pos").as(s"p$i")), "docId")
-    }
-    joined
+    phraseJoined(hits, terms)
       .withColumn("ptf", size(filter(col("p0"), p =>
         terms.indices.tail.map(i => array_contains(col(s"p$i"), p + i))
           .foldLeft(lit(true))(_ && _))).cast("double"))
