@@ -212,6 +212,11 @@ object SparkEntry {
         .collect { case graft.search.TermQ(t) => t }
       rel(s, d).orTopK(terms, 1, 10)
     }),
+    // function-range query ({!frange}): docs whose function-query value
+    // (mod(dl, 7) here — a ValueSources Column) lies in [2, 4];
+    // constant score ⇒ url-rank order
+    "ir_q40_frange" -> ((s, d) => rel(s, d).frangeTopK(
+      graft.functions.ValueSources.fn("mod", col("dl"), lit(7)), 2, 4, 10)),
     // edismax pf2: every adjacent bigram of the positional order is
     // phrase-boosted (Solr pf2 shingles); 3-term query → 2 bigrams
     "ir_q39_edismax_pf2" -> ((s, d) => {
@@ -666,6 +671,14 @@ object SparkEntry {
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
           |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // frange twin: the engine's dl (analyzer token count) = split
+    // length on the fixture corpus; constant-score rank = url order
+    "ir_q40_frange" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |sel AS (SELECT doc_id FROM dl WHERE dl % 7 BETWEEN 2 AND 4)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+        |  SELECT row_number() OVER (ORDER BY d.source ASC, sel.doc_id ASC) AS rank, sel.doc_id
+        |  FROM sel JOIN documents d USING (doc_id)) WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // pf2 twin: per-bigram phrase tf via adjacent-pair comprehension,
     // idf sums written as explicit two-operand adds in phrase order,
     // boosts nested in gram order after the base sum (engine fold)

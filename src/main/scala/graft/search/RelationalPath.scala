@@ -363,6 +363,17 @@ final class RelationalPath(idx: graft.index.IndexView) {
   def matchAllTopK(k: Int): DataFrame =
     constRankByDocId(docsWithId.select(col("docId"), col("doc_id")), k)
 
+  /** Function-range query (`{!frange l=.. u=..}fn(...)`
+    * [U solr/core/.../search/FunctionRangeQParserPlugin.java]): every
+    * live doc whose function-query VALUE (any ValueSources Column over
+    * the docs row) lies in [lo, hi]; constant score ⇒ rank = docId
+    * (url-rank) order. The function filter is a pure Column predicate —
+    * Catalyst pushes what it can into the docs scan. */
+  def frangeTopK(fn: Column, lo: Double, hi: Double, k: Int): DataFrame =
+    constRankByDocId(
+      docsWithId.filter(fn.cast("double").between(lo, hi))
+        .select(col("docId"), col("doc_id")), k)
+
   /** Scored term + non-scoring timestamp-range filter — the
     * PointRangeQuery / BKD analogue over the docs table
     * [U lucene/core/.../search/PointRangeQuery.java]; the range
