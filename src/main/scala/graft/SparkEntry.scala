@@ -212,6 +212,13 @@ object SparkEntry {
         .collect { case graft.search.TermQ(t) => t }
       rel(s, d).orTopK(terms, 1, 10)
     }),
+    // edismax bq: additive boost query — hits of `spark` gain
+    // 1.5 × BM25(merge) where merge also matches (hit set unchanged)
+    "ir_q41_edismax_bq" -> ((s, d) => {
+      val p = graft.search.EDisMax.parse("spark", "0")
+      graft.search.EDisMax.topK(Seq(index(s, d) -> 1.0), p, 10,
+        bq = Seq("merge" -> 1.5))
+    }),
     // function-range query ({!frange}): docs whose function-query value
     // (mod(dl, 7) here — a ValueSources Column) lies in [2, 4];
     // constant score ⇒ url-rank order
@@ -667,6 +674,18 @@ object SparkEntry {
           |sel AS (SELECT s0.doc_id, s0.s + 0.5 * coalesce(psc.ps, 0.0) AS s
           |  FROM (SELECT doc_id, score AS s FROM scored WHERE term = 'batch') s0
           |  LEFT JOIN psc USING (doc_id))
+          |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+          |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
+          |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // bq twin: base score left-joined with the boost query's scores,
+    // combine order matching the engine (s + 1.5·coalesce)
+    "ir_q41_edismax_bq" ->
+      (bm25Cte +
+        """, sel AS (SELECT s0.doc_id, s0.s + 1.5 * coalesce(b.s, 0.0) AS s
+          |  FROM (SELECT doc_id, score AS s FROM scored WHERE term = 'spark') s0
+          |  LEFT JOIN (SELECT doc_id, score AS s FROM scored WHERE term = 'merge') b
+          |  USING (doc_id))
           |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))

@@ -74,15 +74,21 @@ object EDisMax {
     * @param pf2 bigram phrase fields [U solr edismax `pf2`]: every
     *        ADJACENT PAIR of `p.positional` is phrase-boosted the same
     *        way (Solr builds bigram shingles of the user's token
-    *        order); `pf3` is the trigram analogue. Additive combine
-    *        order is pinned: s = Σts, then pf/pf2/pf3 (each field in
-    *        list order, grams left to right), then bf. */
+    *        order); `pf3` is the trigram analogue.
+    * @param bq additive boost queries [U solr dismax/edismax `bq`]:
+    *        extra term queries whose BM25 score (over the PRIMARY
+    *        field, × boost) is ADDED to docs that match them — they
+    *        never add or remove hits (e.g. `bq=lang:en^10` analogues).
+    *        Additive combine order is pinned: s = Σts, then pf/pf2/pf3
+    *        (each field in list order, grams left to right), then bq
+    *        in list order, then bf. */
   def topK(fields: Seq[(IndexView, Double)], p: Parsed, k: Int = 10,
            tie: Double = 0.0,
            bf: Option[org.apache.spark.sql.Column] = None,
            pf: Seq[(IndexView, Double)] = Nil,
            pf2: Seq[(IndexView, Double)] = Nil,
-           pf3: Seq[(IndexView, Double)] = Nil): DataFrame = {
+           pf3: Seq[(IndexView, Double)] = Nil,
+           bq: Seq[(String, Double)] = Nil): DataFrame = {
     require(fields.nonEmpty, "edismax needs at least one qf field")
     val spark = fields.head._1.spark
     val scoredTerms = p.must ++ p.should
@@ -157,6 +163,16 @@ object EDisMax {
     if (p.positional.length >= 2) addPhraseBoosts(pf, 0)
     addPhraseBoosts(pf2, 2)
     addPhraseBoosts(pf3, 3)
+    bq.foreach { case (term, boost) =>
+      // boost query: primary-field BM25 of `term`, added where it
+      // matches (left join keeps non-matching hits at +0)
+      val bScores = new RelationalPath(fields.head._1).scoredTf(Seq(term))
+        .select(col("docId"), col("score").as("bqs"))
+      out = out.join(bScores, Seq("docId"), "left")
+        .withColumn("s",
+          col("s") + lit(boost) * coalesce(col("bqs"), lit(0.0)))
+        .drop("bqs")
+    }
     bf.foreach { fnCol =>
       // evaluate the boost function over the primary field's docs row
       // and ADD it (edismax bf is additive; `boost` would multiply).

@@ -135,6 +135,21 @@ class EDisMaxSpec extends SparkSpec {
       EDisMax.topK(fields, p2, 10).collect().toSeq)
   }
 
+  test("bq: additive boost query never changes the hit set") {
+    val fields = Seq(textIdx -> 1.0)
+    val p = EDisMax.parse("spark", "0")
+    val base = EDisMax.topK(fields, p, 1000).collect().map(_.getLong(1)).toSet
+    val boosted = EDisMax.topK(fields, p, 1000, bq = Seq("merge" -> 1e9))
+      .collect()
+    assert(boosted.map(_.getLong(1)).toSet === base)
+    // dominating bq: docs matching merge rank ahead of those that don't
+    val mergeDocs = new RelationalPath(textIdx).scoredTf(Seq("merge"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bothCnt = (base intersect mergeDocs).size
+    val ranked = boosted.sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    assert(ranked.take(bothCnt).forall(mergeDocs.contains))
+  }
+
   test("must + mustNot across fields") {
     // +spark (text) -src1 (url): spark docs excluding source=src1
     val hits = EDisMax.topK(Seq(textIdx -> 2.0, urlIdx -> 1.0),
