@@ -348,6 +348,16 @@ object SparkEntry {
       .join(tpch(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       .orderBy("o_orderpriority")),
+    // TermsComponent role [U solr/core/.../handler/component/
+    // TermsComponent.java]: raw term enumeration from the dictionary —
+    // prefix-bounded, df-ranked with counts (no search, no scoring)
+    "sx_terms" -> ((s, d) =>
+      index(s, d).termStats
+        .filter(col("term").startsWith("s"))
+        .select(col("term"), col("df").cast("long").as("df"),
+          col("ttf").cast("long").as("ttf"))
+        .orderBy(desc("df"), asc("term"))
+        .limit(15)),
     // /export handler role [U solr/core/.../handler/export/]: the FULL
     // filtered result set in stable multi-field sort order (what
     // streaming expressions consume) — no top-k cutoff
@@ -1111,6 +1121,12 @@ object SparkEntry {
     "sx_mergejoin" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sx_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |st AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+        |  FROM tok GROUP BY 1)
+        |SELECT term, df, ttf FROM st WHERE term LIKE 's%'
+        |ORDER BY df DESC, term ASC LIMIT 15""".stripMargin,
     "sx_export" ->
       """SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'
         |ORDER BY source DESC, doc_id ASC""".stripMargin,
