@@ -212,6 +212,11 @@ object SparkEntry {
         .collect { case graft.search.TermQ(t) => t }
       rel(s, d).orTopK(terms, 1, 10)
     }),
+    // query elevation (QueryElevationComponent): docs 7 then 3 pinned
+    // to the top in that order, doc 42 excluded, organic spark hits
+    // follow with relative order preserved
+    "ir_q42_elevate" -> ((s, d) => graft.search.Elevation.elevate(
+      rel(s, d).termTopK("spark", 10), Seq(7L, 3L), Seq(42L))),
     // edismax bq: additive boost query — hits of `spark` gain
     // 1.5 × BM25(merge) where merge also matches (hit set unchanged)
     "ir_q41_edismax_bq" -> ((s, d) => {
@@ -391,6 +396,17 @@ object SparkEntry {
     "sx_pivot" -> ((s, d) => docsTable(s, d)
       .groupBy("lang", "source").agg(count(lit(1)).as("n"))
       .orderBy("lang", "source")),
+    // JSON facet with per-bucket stat subaggregations (json.facet
+    // {type:terms, facet:{...}} [U solr/core/.../search/facet/FacetField
+    // .java]): count + min/max/sum per bucket; integer stats so the
+    // hash compare is exact regardless of aggregation order
+    "sx_facet_stats" -> ((s, d) => docsTable(s, d)
+      .groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("lang")),
     "sx_distinct" -> ((s, d) => tpch(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("n_parts"))
@@ -688,6 +704,22 @@ object SparkEntry {
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
           |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // elevation twin: pinned rows 1-2 literal, organic top-10 spark
+    // hits minus pinned/excluded re-ranked +2 in original rank order
+    "ir_q42_elevate" ->
+      (bm25Cte +
+        """, sel AS (SELECT doc_id, score AS s FROM scored WHERE term = 'spark'),
+          |top AS (SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+          |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
+          |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
+          |  WHERE rank <= 10)
+          |SELECT rank, doc_id FROM (
+          |  SELECT CAST(1 AS INTEGER) AS rank, CAST(7 AS BIGINT) AS doc_id
+          |  UNION ALL SELECT CAST(2 AS INTEGER), CAST(3 AS BIGINT)
+          |  UNION ALL
+          |  SELECT CAST(row_number() OVER (ORDER BY rank) + 2 AS INTEGER) AS rank, doc_id
+          |  FROM top WHERE doc_id NOT IN (7, 3, 42))
+          |ORDER BY rank""".stripMargin),
     // bq twin: base score left-joined with the boost query's scores,
     // combine order matching the engine (s + 1.5·coalesce)
     "ir_q41_edismax_bq" ->
@@ -1121,6 +1153,11 @@ object SparkEntry {
     "sx_mergejoin" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sx_facet_stats" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "sx_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |st AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
