@@ -214,9 +214,11 @@ object SparkEntry {
     }),
     // query elevation (QueryElevationComponent): docs 7 then 3 pinned
     // to the top in that order, doc 42 excluded, organic spark hits
-    // follow with relative order preserved
+    // follow with relative order preserved; overfetch 13 → page of 10
+    // so exclusion backfills from deeper hits (the reference applies
+    // exclusion before its rows cutoff)
     "ir_q42_elevate" -> ((s, d) => graft.search.Elevation.elevate(
-      rel(s, d).termTopK("spark", 10), Seq(7L, 3L), Seq(42L))),
+      rel(s, d).termTopK("spark", 13), Seq(7L, 3L), Seq(42L), k = 10)),
     // edismax bq: additive boost query — hits of `spark` gain
     // 1.5 × BM25(merge) where merge also matches (hit set unchanged)
     "ir_q41_edismax_bq" -> ((s, d) => {
@@ -712,14 +714,14 @@ object SparkEntry {
           |top AS (SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
           |  SELECT row_number() OVER (ORDER BY s DESC, src ASC, doc_id ASC) AS rank, doc_id
           |  FROM (SELECT sel.doc_id, sel.s, d.source AS src FROM sel JOIN documents d USING (doc_id)))
-          |  WHERE rank <= 10)
+          |  WHERE rank <= 13)
           |SELECT rank, doc_id FROM (
           |  SELECT CAST(1 AS INTEGER) AS rank, CAST(7 AS BIGINT) AS doc_id
           |  UNION ALL SELECT CAST(2 AS INTEGER), CAST(3 AS BIGINT)
           |  UNION ALL
           |  SELECT CAST(row_number() OVER (ORDER BY rank) + 2 AS INTEGER) AS rank, doc_id
           |  FROM top WHERE doc_id NOT IN (7, 3, 42))
-          |ORDER BY rank""".stripMargin),
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin),
     // bq twin: base score left-joined with the boost query's scores,
     // combine order matching the engine (s + 1.5·coalesce)
     "ir_q41_edismax_bq" ->

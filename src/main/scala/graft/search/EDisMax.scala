@@ -163,9 +163,13 @@ object EDisMax {
     if (p.positional.length >= 2) addPhraseBoosts(pf, 0)
     addPhraseBoosts(pf2, 2)
     addPhraseBoosts(pf3, 3)
-    bq.foreach { case (term, boost) =>
-      // boost query: primary-field BM25 of `term`, added where it
-      // matches (left join keeps non-matching hits at +0)
+    bq.foreach { case (rawTerm, boost) =>
+      // boost query: primary-field BM25 of the term, added where it
+      // matches (left join keeps non-matching hits at +0). The term
+      // goes through the same fold as every parsed query term — the
+      // dictionary stores lowercased terms, so a raw mixed-case bq
+      // would silently boost nothing.
+      val term = Analysis.lowercase(rawTerm)
       val bScores = new RelationalPath(fields.head._1).scoredTf(Seq(term))
         .select(col("docId"), col("score").as("bqs"))
       out = out.join(bScores, Seq("docId"), "left")

@@ -17,10 +17,20 @@ import org.apache.spark.sql.functions._
   * pattern shared with the other rank attachments. */
 object Elevation {
 
+  /** @param k when > 0, trim the final list to k rows. The reference
+    *        applies exclusion BEFORE its rows cutoff and backfills from
+    *        deeper organic hits — to reproduce that page shape, fetch
+    *        `hits` with k + excluded.size (+ pinned non-hits) rows and
+    *        pass the page size here; with k = 0 the edited list is
+    *        returned whole. */
   def elevate(hits: DataFrame, elevated: Seq[Long],
-              excluded: Seq[Long] = Nil): DataFrame = {
+              excluded: Seq[Long] = Nil, k: Int = 0): DataFrame = {
     require(elevated.nonEmpty || excluded.nonEmpty,
       "elevation needs at least one pinned or excluded id")
+    require(elevated.distinct.length == elevated.length,
+      s"duplicate elevated ids: $elevated")
+    require(elevated.intersect(excluded).isEmpty,
+      s"ids both elevated and excluded: ${elevated.intersect(excluded)}")
     val spark = hits.sparkSession
     import spark.implicits._
     val m = elevated.length
@@ -34,6 +44,7 @@ object Elevation {
       .map { case (id, i) => (i + 1, id) }
       .toDF("rank", "doc_id")
       .select(col("rank").cast("int").as("rank"), col("doc_id"))
-    pinned.unionByName(organic).orderBy("rank")
+    val all = pinned.unionByName(organic)
+    (if (k > 0) all.filter(col("rank") <= k) else all).orderBy("rank")
   }
 }

@@ -33,4 +33,19 @@ class ElevationSpec extends SparkSpec {
       Elevation.elevate(hits, Nil, Nil)
     }
   }
+
+  test("k trims the page; exclusion backfills from overfetched hits") {
+    // caller overfetched 4 hits for a page of 3: excluding one organic
+    // hit still yields a full page
+    val out = Elevation.elevate(hits, Seq(99L), Seq(20L), k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(out === Seq((1, 99L), (2, 10L), (3, 30L)))
+    // misconfigurations fail loudly
+    intercept[IllegalArgumentException] {
+      Elevation.elevate(hits, Seq(7L, 7L))
+    }
+    intercept[IllegalArgumentException] {
+      Elevation.elevate(hits, Seq(7L), Seq(7L))
+    }
+  }
 }

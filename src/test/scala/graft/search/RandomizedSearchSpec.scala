@@ -95,7 +95,7 @@ class RandomizedSearchSpec extends SparkSpec {
   test("engine ≡ SpecOracle on random corpora × random query trees") {
     // extra seeds via env for soak runs: GRAFT_RAND_EXTRA_SEEDS=7,8,9
     val extra = sys.env.get("GRAFT_RAND_EXTRA_SEEDS").toSeq
-      .flatMap(_.split(",")).filter(_.nonEmpty).map(_.trim.toLong)
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toLong)
     (Seq(42L, 1337L, 90210L) ++ extra).foreach { seed =>
       val rnd = new Random(seed)
       val corpus = mkCorpus(rnd, 150 + rnd.nextInt(150))
