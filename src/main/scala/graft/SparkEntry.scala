@@ -246,6 +246,30 @@ object SparkEntry {
         graft.search.Highlighter.highlightCol(
           col("text"), Seq("spark", "merge"), window = 8).as("snippet"))
         .orderBy("doc_id")),
+    // geo distance filter + sort-by-distance ({!geofilt} + geodist()
+    // asc): lat/lon synthesized deterministically from doc_id (the
+    // corpus carries no coordinates), haversine ≤ 2000 km of (10, 20),
+    // nearest-first
+    "ir_q43_geofilt" -> ((s, d) => rel(s, d).geoTopK(
+      "cast(doc_id % 120 as double) - 59.5",
+      "cast((doc_id * 7) % 360 as double) - 179.5",
+      10.0, 20.0, 2000.0, 10)),
+    // cross-index join ({!join fromIndex=url}src3 ∧ body:spark): body
+    // BM25 hits semi-joined to url-field matches — docId-aligned
+    // indexes make the join key docId itself
+    "ir_q44_join" -> ((s, d) =>
+      rel(s, d).joinFromIndexTopK(urlIndex(s, d), "src3", "spark", 10)),
+    // interval combinators: maxgaps(10, ordered(spark, merge))
+    // CONTAINING join — minimal ordered intervals via the shared
+    // Spans kernel
+    "ir_q45_intervals" -> ((s, d) =>
+      rel(s, d).intervalContainingDocs(Seq("spark", "merge"), 10, "join")),
+    // edismax stepped mm ("2<67%": >2 optional clauses → 67% of 3 = 2
+    // required) — the Solr conditional minimum-should-match spec
+    "ir_q46_edismax_mm" -> ((s, d) => {
+      val p = graft.search.EDisMax.parse("sort merge window", "2<67%")
+      graft.search.EDisMax.topK(Seq(index(s, d) -> 1.0), p, 10)
+    }),
     // span/interval proximity (§2.4 P2 row): ordered + unordered near
     "ir_q26_spannear" -> ((s, d) =>
       rel(s, d).spanNearDocs(Seq("spark", "merge"), slop = 3, inOrder = true)),
@@ -372,13 +396,20 @@ object SparkEntry {
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(desc("source"), asc("doc_id"))),
-    "sx_rank" -> ((s, d) => tpch(s, d, "orders")
-      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-      .limit(10)
-      .select(
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(desc("o_totalprice"), asc("o_orderkey"))).as("rank"),
-        col("o_orderkey"))),
+    // RankStream: TakeOrderedAndProject bounds to ≤10 rows, ranks
+    // stamped on the driver (no Window, no single-partition exchange)
+    "sx_rank" -> ((s, d) => {
+      import s.implicits._
+      val top = tpch(s, d, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey").cast("long"), col("o_totalprice").cast("double"))
+        .as[(Long, Double)].collect()
+        .sortBy { case (key, price) => (-price, key) }
+      top.toSeq.zipWithIndex
+        .map { case ((key, _), i) => (i + 1, key) }
+        .toDF("rank", "o_orderkey")
+    }),
     "sx_unique" -> ((s, d) => tpch(s, d, "events")
       .select("event_type").distinct().orderBy("event_type")),
     "sx_collapse" -> ((s, d) => {
@@ -1188,6 +1219,48 @@ object SparkEntry {
     "sx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // geofilt twin: the IDENTICAL haversine op sequence (dLat/dLon
+    // halved inside, pow(sin,2), cos·cos·pow grouping, 2·R·asin(sqrt))
+    // — FP multiply is commutative bit-for-bit, so operand order in the
+    // cos product is free; rank = (dist, url-order) like the engine
+    "ir_q43_geofilt" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(doc_id % 120 AS DOUBLE) - 59.5 AS lat,
+        |    CAST((doc_id * 7) % 360 AS DOUBLE) - 179.5 AS lon FROM documents),
+        |sel AS (SELECT doc_id,
+        |    2.0 * 6371.0087714 * asin(sqrt(pow(sin(radians(10.0 - lat) / 2.0), 2.0) +
+        |      cos(radians(lat)) * cos(radians(10.0)) * pow(sin(radians(20.0 - lon) / 2.0), 2.0))) AS dist
+        |  FROM g)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+        |  SELECT row_number() OVER (ORDER BY dist ASC, src ASC, doc_id ASC) AS rank, doc_id
+        |  FROM (SELECT sel.doc_id, sel.dist, d.source AS src
+        |        FROM sel JOIN documents d USING (doc_id) WHERE sel.dist <= 2000.0))
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // cross-index join twin: url-field term 'src3' ⇔ source = 'src3'
+    // (the url tokens are https/example/com/<source>/<id>)
+    "ir_q44_join" -> topkSql(
+      "SELECT s1.doc_id, s1.score AS s FROM scored s1 WHERE s1.term = 'spark' AND s1.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')"),
+    // intervals twin: minimal ordered intervals = (max start per end)
+    // — greedy ends are non-decreasing over ascending anchors, so
+    // containment only occurs between equal-end intervals; gaps =
+    // e − s − 1 for a 2-clause source; CONTAINING 'join' = a join
+    // position inside [s, e]
+    "ir_q45_intervals" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, u.s.p AS p, u.s.tm AS tm FROM (
+        |  SELECT doc_id, [{'p': i, 'tm': t[i]} FOR i IN generate_series(1, len(t))] AS ps FROM toks), unnest(ps) AS u(s)),
+        |ai AS (SELECT doc_id, p FROM pos WHERE tm = 'spark'),
+        |bi AS (SELECT doc_id, p FROM pos WHERE tm = 'merge'),
+        |ci AS (SELECT doc_id, p FROM pos WHERE tm = 'join'),
+        |iv AS (SELECT ai.doc_id, ai.p AS s, min(bi.p) AS e FROM ai
+        |  JOIN bi ON ai.doc_id = bi.doc_id AND bi.p > ai.p GROUP BY ai.doc_id, ai.p),
+        |miv AS (SELECT doc_id, max(s) AS s, e FROM iv GROUP BY doc_id, e)
+        |SELECT DISTINCT miv.doc_id AS doc_id FROM miv JOIN ci ON ci.doc_id = miv.doc_id
+        |WHERE miv.e - miv.s - 1 <= 10 AND ci.p BETWEEN miv.s AND miv.e
+        |ORDER BY miv.doc_id""".stripMargin,
+    // stepped-mm twin: "2<67%" at 3 optional clauses → 2 required
+    "ir_q46_edismax_mm" -> topkSql(
+      "SELECT doc_id, sum(score) AS s FROM scored WHERE term IN ('sort','merge','window') GROUP BY doc_id HAVING count(*) >= 2"),
     // 2-term span-near existence: span = |pa−pb|+1 ≤ 2+slop, inOrder ⇒
     // pa < pb (equivalent to the engine's greedy/minimal-window match)
     "ir_q26_spannear" ->

@@ -119,11 +119,18 @@ object IndexBuilder {
       val base = pages.select(col("url"), col("lang"), col("text"), col("warc_ts"))
       // partition-index preimages: route pid p to hash-partition p
       val pre = hashPreimages(spark, cfg.numPartitions)
-      base
-        .withColumn("__gkey", sortKey)
-        .withColumn("__gbucket", element_at(typedLit(pre.toSeq), pidOf(col("__gkey")) + 1))
+      // default sort (no sortKeySql): the key IS the url — sort on the
+      // url column directly instead of materializing a __gkey copy,
+      // which would ship every url through the full-width shuffle TWICE
+      // (urls are ~10% of the payload beside the stored text)
+      val (keyed, keyCol) = cfg.sortKeySql match {
+        case None => (base, col("url"))
+        case Some(_) => (base.withColumn("__gkey", sortKey), col("__gkey"))
+      }
+      keyed
+        .withColumn("__gbucket", element_at(typedLit(pre.toSeq), pidOf(keyCol) + 1))
         .repartition(cfg.numPartitions, col("__gbucket"))
-        .sortWithinPartitions("__gkey")
+        .sortWithinPartitions(keyCol)
         .drop("__gbucket", "__gkey")
         .as[(String, String, String, java.sql.Timestamp)]
     }

@@ -129,7 +129,11 @@ object Ann {
       .withColumn("probe", slice(sort_array(probeStructs), 1, nProbe))
       .select(col("q_id"), col("q_embedding"), explode(col("probe")).as("pr"))
       .select(col("q_id"), col("q_embedding"), col("pr.c").as("cluster"))
-    val joined = assigned.as("e").join(broadcast(probes.as("q")), "cluster")
+    // no forced broadcast: the exploded probe table is |queries|×nProbe
+    // rows EACH carrying the full query embedding — for a large query
+    // frame a forced hint would blow the driver; the planner broadcasts
+    // it when (and only when) it fits the threshold, else shuffles
+    val joined = assigned.as("e").join(probes.as("q"), "cluster")
       .withColumn("cos", cosine(col("e.embedding"), col("q.q_embedding")))
     topKRank(joined.select(col("q.q_id").as("q_id"), col("cos"),
       col("e.vec_id").as("vec_id")), k)

@@ -34,12 +34,17 @@ object Dedup {
       .select("keep_id", "n_docs")
 
   /** Per-doc exact-dup verdict: (doc_id, keep_id); doc is a duplicate
-    * iff doc_id != keep_id. Window over the digest, rank by doc_id. */
-  def exactDedup(documents: DataFrame): DataFrame =
-    documents
+    * iff doc_id != keep_id. groupBy(min) + equi-join back on the digest
+    * — partial aggregation bounds per-task input even when ONE text
+    * value dominates the corpus (a Window partitioned by the digest
+    * would move every row of that group into a single task). */
+  def exactDedup(documents: DataFrame): DataFrame = {
+    val hashed = documents
       .select(col("doc_id").cast("long").as("doc_id"), md5(col("text")).as("h"))
-      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("h")))
+    hashed
+      .join(hashed.groupBy("h").agg(min("doc_id").as("keep_id")), "h")
       .select("doc_id", "keep_id")
+  }
 
   // ---------- deterministic hashing primitives ----------
 

@@ -59,21 +59,22 @@ object Urp {
     * write order, so the stable key order is the documented pin).
     * EXACTLY one row survives per signature even when keys tie or are
     * null (a min-key semi join would keep every tied row and drop
-    * all-null-key groups entirely), via one partitioned-window shuffle
-    * on the signature — the same single-shuffle cost as a groupBy,
-    * with no join back. */
+    * all-null-key groups entirely): the survivor is min-of-structs over
+    * (key-is-null, key, whole row) — the full row as the final
+    * comparand makes the order total, so ties on the key break
+    * deterministically by row content. One hash aggregation with
+    * map-side partials: per-task input stays bounded even when ONE
+    * signature dominates the corpus (a per-signature Window would move
+    * every row of that group into a single task). */
   def signatureDedup(sigFields: Seq[String], keyField: String): Processor = { df =>
     val sig = md5(concat_ws("\u0000", sigFields.map(f => coalesce(col(f).cast("string"), lit(""))): _*))
-    // temp column names that cannot clobber caller data
-    val sigCol = Iterator.from(0).map(i => s"__sig$i")
-      .find(n => !df.columns.contains(n)).get
-    val rnCol = Iterator.from(0).map(i => s"__rn$i")
-      .find(n => !df.columns.contains(n)).get
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sigCol)).orderBy(asc_nulls_last(keyField))
-    df.withColumn(sigCol, sig)
-      .withColumn(rnCol, row_number().over(w))
-      .filter(col(rnCol) === 1)
-      .drop(sigCol, rnCol)
+    val rowStruct = struct(df.columns.map(col): _*)
+    val ordered = struct(
+      col(keyField).isNull.cast("int").as("nullsLast"),
+      col(keyField).as("k"),
+      rowStruct.as("r"))
+    df.groupBy(sig.as("__sig"))
+      .agg(min(ordered).as("__min"))
+      .select(df.columns.map(c => col(s"__min.r.$c").as(c)): _*)
   }
 }

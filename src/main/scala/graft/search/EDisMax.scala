@@ -46,13 +46,49 @@ object EDisMax {
     // at 100% would demand 2 SHOULD matches when only `merge` remains
     // optional, returning nothing for satisfiable queries)
     val effShould = should.distinct.filterNot(must.contains)
-    val mmCount =
-      if (mm.endsWith("%"))
-        math.max(0, mm.dropRight(1).trim.toInt) * effShould.length / 100
-      else mm.trim.toInt
+    val mmCount = mmFromSpec(mm, effShould.length)
     val positional = toks.filterNot(_.startsWith("-"))
       .map(t => word(if (t.startsWith("+")) t.drop(1) else t))
     Parsed(must.distinct, effShould, mustNot.distinct, mmCount, positional)
+  }
+
+  /** The FULL Solr minimum-should-match spec [U solr/core/.../util/
+    * SolrPluginUtils.java#setMinShouldMatch / calculateMinShouldMatch]:
+    *  - "3"     absolute count; "-2" = all but 2
+    *  - "75%"   percentage, truncated toward zero (Solr rounding);
+    *    "-25%"  = the percentage that may be MISSING (all but 25%)
+    *  - "2<75%" conditional steps, space-separated: each `N<P` applies
+    *    when the optional-clause count is GREATER than N; the step with
+    *    the largest such N wins; below every N, ALL clauses required.
+    * Result is clamped to [0, optCount]. */
+  def mmFromSpec(mm: String, optCount: Int): Int = {
+    def single(v: String): Int = {
+      val t = v.trim
+      val raw =
+        if (t.endsWith("%")) {
+          val pct = t.dropRight(1).trim.toInt
+          if (pct < 0) optCount + pct * optCount / 100
+          else pct * optCount / 100
+        } else {
+          val n = t.toInt
+          if (n < 0) optCount + n else n
+        }
+      math.max(0, math.min(optCount, raw))
+    }
+    val spec = mm.trim
+    if (spec.isEmpty) 0
+    else if (!spec.contains("<")) single(spec)
+    else {
+      val steps = spec.split("\\s+").toSeq.map { c =>
+        val i = c.indexOf('<')
+        require(i > 0 && i < c.length - 1, s"bad mm step '$c' in '$mm'")
+        (c.substring(0, i).trim.toInt, c.substring(i + 1))
+      }.sortBy(_._1)
+      steps.filter(_._1 < optCount).lastOption match {
+        case Some((_, v)) => single(v)
+        case None => optCount // at or below every threshold: all required
+      }
+    }
   }
 
   /** Execute over `fields` = (index, boost) per qf entry.
@@ -180,20 +216,50 @@ object EDisMax {
     bf.foreach { fnCol =>
       // evaluate the boost function over the primary field's docs row
       // and ADD it (edismax bf is additive; `boost` would multiply).
-      // The join is on docId and the hit set is ≤ corpus but typically
-      // small after mm/must filtering; the docs scan is column-pruned
-      // to what fnCol references.
-      val feats = new RelationalPath(fields.head._1).docsWithId
-        .select(col("docId"), fnCol.as("__bf"))
-      out = out.join(feats, "docId")
-        .withColumn("s", col("s") + col("__bf")).drop("__bf")
+      // LEFT join + coalesce(0): bf can never add or remove hits, and
+      // a null-valued function (e.g. log(0)) contributes 0 instead of
+      // nulling the whole score — Solr bf semantics. When the hit set
+      // is small enough to ship as an isin predicate, the candidate
+      // docIds are PUSHED into the feature scan (row-group pruning);
+      // above the cap the distributed left join is the correct plan.
+      import spark.implicits._
+      val hitIds = out.select(col("docId").cast("long"))
+        .limit(BfPushdownCap + 1).as[Long].collect()
+      out = out.join(bfFeatures(fields.head._1, fnCol,
+          if (hitIds.length <= BfPushdownCap) Some(hitIds.toSeq) else None),
+          Seq("docId"), "left")
+        .withColumn("s", col("s") + coalesce(col("__bf"), lit(0.0)))
+        .drop("__bf")
     }
-    out
+    import spark.implicits._
+    val winners = out
       .orderBy(desc("s"), asc("docId"))
       .limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(desc("s"), asc("docId"))))
-      .select(col("rank").cast("int").as("rank"), col("doc_id"))
-      .orderBy("rank")
+      .select(col("docId").cast("long").as("docId"),
+        col("doc_id").cast("long").as("doc_id"), col("s").cast("double").as("s"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (d, _, s) => (-s, d) }
+    winners.toSeq.zipWithIndex
+      .map { case ((_, id, _), i) => (i + 1, id) }
+      .toDF("rank", "doc_id")
+  }
+
+  /** Hit-count cap for shipping candidate ids as a pushed isin
+    * predicate into the bf feature scan; larger hit sets use the
+    * distributed join instead (an isin of millions of ids would bloat
+    * the plan and the broadcast). */
+  val BfPushdownCap = 10000
+
+  /** The bf feature frame: (docId, __bf) over the primary field's docs
+    * table, pruned to `candidateIds` when given (the isin predicate
+    * reaches the parquet scan as PushedFilters — asserted in PlanSpec). */
+  def bfFeatures(primary: IndexView, fnCol: org.apache.spark.sql.Column,
+                 candidateIds: Option[Seq[Long]]): DataFrame = {
+    val docs = new RelationalPath(primary).docsWithId
+    val pruned = candidateIds match {
+      case Some(ids) => docs.filter(col("docId").isin(ids: _*))
+      case None => docs
+    }
+    pruned.select(col("docId"), fnCol.as("__bf"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Query elevation — the editorial pin/exclude component
@@ -12,9 +11,9 @@ import org.apache.spark.sql.functions._
   * follow with their relative order preserved.
   *
   * Operates on a (rank, doc_id) hits frame, so it composes with every
-  * topK face (scorer, relational, edismax). The re-rank Window runs
-  * over ≤ k already-materialized hit rows — the bounded-input Window
-  * pattern shared with the other rank attachments. */
+  * topK face (scorer, relational, edismax). The re-rank happens ON THE
+  * DRIVER over the ≤ page-size collected hits (the TopDocs.merge shape
+  * every rank tail uses) — no Window operator in the plan. */
 object Elevation {
 
   /** @param k when > 0, trim the final list to k rows. The reference
@@ -34,17 +33,22 @@ object Elevation {
     val spark = hits.sparkSession
     import spark.implicits._
     val m = elevated.length
-    val drop = (elevated ++ excluded).map(Long.box)
+    val dropSet = (elevated ++ excluded).toSet
+    // null doc_ids pass through as organic rows — elevation is a pure
+    // reorder/exclusion, never an implicit null filter (an isin NOT
+    // would silently drop them)
     val organic = hits
-      .filter(!col("doc_id").isin(drop: _*))
-      .withColumn("rank",
-        (row_number().over(Window.orderBy(asc("rank"))) + m).cast("int"))
-      .select(col("rank"), col("doc_id"))
-    val pinned = elevated.zipWithIndex
-      .map { case (id, i) => (i + 1, id) }
+      .select(col("rank").cast("long").as("rank"), col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .filter { case (_, id) => !id.exists(dropSet.contains) }
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, id), i) => (m + i + 1, id) }
+    val pinned = elevated.zipWithIndex.map { case (id, i) => (i + 1, Option(id)) }
+    val all = (pinned ++ organic).toSeq
+    (if (k > 0) all.filter(_._1 <= k) else all)
       .toDF("rank", "doc_id")
       .select(col("rank").cast("int").as("rank"), col("doc_id"))
-    val all = pinned.unionByName(organic)
-    (if (k > 0) all.filter(col("rank") <= k) else all).orderBy("rank")
   }
 }

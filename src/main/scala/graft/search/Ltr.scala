@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Learning-to-rank re-scoring — the reference's LTR contrib module
@@ -28,28 +27,64 @@ object Ltr {
         .reduce(_ + _)
   }
 
-  /** Re-rank the top-`topN` candidates of an OR base query (scores
-    * summed, mm=1) with `model`; return (rank, doc_id) of the top-k by
-    * model score (docId-ascending tie-break, as everywhere). The model
-    * only ever sees ≤ topN rows: candidate selection is the same
-    * bounded TakeOrderedAndProject as every other topK path, and the
-    * feature join broadcasts the candidate side. */
-  def rescore(idx: graft.index.IndexView, baseTerms: Seq[String],
-              topN: Int, k: Int, model: LinearModel): DataFrame = {
+  /** Candidate top-`topN` of an OR base query (scores summed, mm=1),
+    * collected to the driver (TakeOrderedAndProject → ≤ topN rows,
+    * driver re-sorts with the same comparator — the TopDocs.merge
+    * shape). Returns (docId, doc_id, s) in rank order. */
+  private def candidates(idx: graft.index.IndexView, baseTerms: Seq[String],
+                         topN: Int): Array[(Long, Long, Double)] = {
     val rel = new RelationalPath(idx)
-    val candidates = rel.scoredTf(baseTerms)
+    val spark = idx.spark
+    import spark.implicits._
+    rel.scoredTf(baseTerms)
       .groupBy("docId", "doc_id").agg(sum("score").as("s"))
       .orderBy(desc("s"), asc("docId"))
       .limit(topN)
-    val withFeatures = broadcast(candidates)
-      .join(rel.docsWithId.drop("doc_id"), "docId")
+      .select(col("docId").cast("long").as("docId"),
+        col("doc_id").cast("long").as("doc_id"), col("s").cast("double").as("s"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (d, _, s) => (-s, d) }
+  }
+
+  /** The model-input frame for a collected candidate set: candidate
+    * (docId, s) broadcast-joined to JUST the candidates' docs rows —
+    * the candidate ids ship as an isin predicate PUSHED into the docs
+    * parquet scan (PushedFilters; asserted in PlanSpec), so the
+    * feature fetch reads ≤ topN rows' row groups, never the corpus. */
+  def candidateFeatures(idx: graft.index.IndexView,
+                        cands: Seq[(Long, Long, Double)],
+                        model: LinearModel): DataFrame = {
+    val rel = new RelationalPath(idx)
+    val spark = idx.spark
+    import spark.implicits._
+    val candDf = cands.toDF("docId", "doc_id", "s")
+    rel.docsWithId.drop("doc_id")
+      .filter(col("docId").isin(cands.map(_._1): _*))
+      .join(broadcast(candDf), "docId")
       .withColumn("ltr", model.scoreCol)
-    withFeatures
-      .orderBy(desc("ltr"), asc("docId"))
-      .limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("ltr"), asc("docId"))))
-      .select(col("rank").cast("int").as("rank"), col("doc_id"))
-      .orderBy("rank")
+  }
+
+  /** Re-rank the top-`topN` candidates of an OR base query (scores
+    * summed, mm=1) with `model`; return (rank, doc_id) of the top-k by
+    * model score (docId-ascending tie-break, as everywhere). The model
+    * only ever sees ≤ topN rows; ranks are stamped on the driver — no
+    * Window operator anywhere in the plan. */
+  def rescore(idx: graft.index.IndexView, baseTerms: Seq[String],
+              topN: Int, k: Int, model: LinearModel): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val cands = candidates(idx, baseTerms, topN)
+    if (cands.isEmpty)
+      return Seq.empty[(Int, Long)].toDF("rank", "doc_id")
+    val rescored = candidateFeatures(idx, cands.toSeq, model)
+      .select(col("docId").cast("long").as("docId"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("ltr").cast("double").as("ltr"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (d, _, l) => (-l, d) }
+      .take(k)
+    rescored.toSeq.zipWithIndex
+      .map { case ((_, id, _), i) => (i + 1, id) }
+      .toDF("rank", "doc_id")
   }
 }

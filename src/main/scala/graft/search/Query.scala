@@ -37,6 +37,16 @@ final case class AttrRangeQ(name: String,
                             includeLo: Boolean = true,
                             includeHi: Boolean = true) extends Query
 
+/** Geo distance predicate — `{!geofilt sfield=... pt=lat,lon d=km}`
+  * [U solr/core/.../search/SpatialFilterQParser.java;
+  * lucene/core/.../document/LatLonPoint.java#newDistanceQuery]:
+  * non-scoring, docs whose point lies within `dKm` of (lat, lon).
+  * `latSql`/`lonSql` are SQL expressions over the docs row (the
+  * sfield's docvalues analogue); the haversine compare is the
+  * ValueSources `geodist` Column — pushdown-friendly pure trig. */
+final case class GeoFiltQ(latSql: String, lonSql: String,
+                          lat: Double, lon: Double, dKm: Double) extends Query
+
 /** Every live doc, constant score 1 — Solr's default `q=*:*`
   * [U lucene/core/.../search/MatchAllDocsQuery.java]. */
 case object MatchAllQ extends Query
@@ -117,8 +127,8 @@ object Query {
     case PhraseQ(ts, _) => ts
     case SpanNearQ(ts, _, _) => ts
     case TermSetQ(ts, _) => ts
-    case AttrQ(_, _) | AttrRangeQ(_, _, _, _, _) | MatchAllQ | MatchNoneQ
-         | PredQ(_) | DocIdSetQ(_) => Nil
+    case AttrQ(_, _) | AttrRangeQ(_, _, _, _, _) | GeoFiltQ(_, _, _, _, _)
+         | MatchAllQ | MatchNoneQ | PredQ(_) | DocIdSetQ(_) => Nil
     case BoostQ(inner, _) => collectTerms(inner)
     case ConstScoreQ(inner, _) => collectTerms(inner)
     case DisMaxQ(qs, _) => qs.flatMap(collectTerms).distinct
@@ -130,7 +140,8 @@ object Query {
 
   /** Does evaluation need the docs table (attribute filters / match-all)? */
   def needsDocs(q: Query): Boolean = q match {
-    case AttrQ(_, _) | AttrRangeQ(_, _, _, _, _) | MatchAllQ | PredQ(_) => true
+    case AttrQ(_, _) | AttrRangeQ(_, _, _, _, _) | GeoFiltQ(_, _, _, _, _)
+         | MatchAllQ | PredQ(_) => true
     case BoostQ(inner, _) => needsDocs(inner)
     case ConstScoreQ(inner, _) => needsDocs(inner)
     case DisMaxQ(qs, _) => qs.exists(needsDocs)
@@ -147,6 +158,7 @@ object Query {
     def walk(x: Query): Unit = x match {
       case a: AttrQ => out += a
       case a: AttrRangeQ => out += a
+      case a: GeoFiltQ => out += a
       case BoostQ(inner, _) => walk(inner)
       case ConstScoreQ(inner, _) => walk(inner)
       case DisMaxQ(qs, _) => qs.foreach(walk)
@@ -176,6 +188,7 @@ object Query {
     def walk(x: Query): Query = x match {
       case a: AttrQ => PredQ(idx(a))
       case a: AttrRangeQ => PredQ(idx(a))
+      case a: GeoFiltQ => PredQ(idx(a))
       case BoostQ(inner, b) => BoostQ(walk(inner), b)
       case ConstScoreQ(inner, s) => ConstScoreQ(walk(inner), s)
       case DisMaxQ(qs, t) => DisMaxQ(qs.map(walk), t)

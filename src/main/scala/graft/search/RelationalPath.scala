@@ -45,6 +45,9 @@ object RelationalPath {
         // open-open range = FieldExistsQuery (`field:*`)
         // [U lucene/core/.../search/DocValuesFieldExistsQuery.java]
         if (conds.isEmpty) c.isNotNull else conds.reduce(_ && _)
+      case GeoFiltQ(latSql, lonSql, lat, lon, dKm) =>
+        graft.functions.ValueSources.fn("geodist",
+          expr(latSql), expr(lonSql), lit(lat), lit(lon)) <= lit(dKm)
       case other => sys.error(s"not an attribute predicate: $other")
     }
   }
@@ -105,28 +108,45 @@ final class RelationalPath(idx: graft.index.IndexView) {
     * Scale shape: `orderBy(...).limit(k)` compiles to
     * TakeOrderedAndProject (per-partition bounded heaps + driver merge —
     * the TopDocs.merge analogue), so no global sort and no
-    * single-partition exchange ever sees more than k rows; the ranking
-    * Window then runs over the ≤k survivors only. */
-  private def rankTopK(perDoc: DataFrame, k: Int): DataFrame =
+    * single-partition exchange ever sees more than k rows; ranks are
+    * then stamped ON THE DRIVER over the ≤k collected winners with the
+    * same comparator (mirroring Searcher.rankedResult) — no Window
+    * operator and no single-partition exchange anywhere in the plan. */
+  private def rankTopK(perDoc: DataFrame, k: Int): DataFrame = {
+    val winners = topKWinnersFrame(perDoc, k)
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (d, _, s) => (-s, d) }
+    winners.toSeq.zipWithIndex
+      .map { case ((_, id, _), i) => (i + 1, id) }
+      .toDF("rank", "doc_id")
+  }
+
+  /** The LAZY bounded-winners frame every scored rank tail collects —
+    * exposed so PlanSpec can assert the physical shape (the collected
+    * result is a LocalRelation whose plan no longer shows the scan). */
+  private[search] def topKWinnersFrame(perDoc: DataFrame, k: Int): DataFrame =
     perDoc
       .orderBy(desc("s"), asc("docId"))
       .limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("s"), asc("docId"))))
-      .select(col("rank").cast("int").as("rank"), col("doc_id"))
-      .orderBy("rank")
+      .select(col("docId").cast("long").as("docId"),
+        col("doc_id").cast("long").as("doc_id"), col("s").cast("double").as("s"))
 
   /** Constant-score ranking: rank = docId (url-rank) order over a
-    * (docId, doc_id) frame — TakeOrderedAndProject bounds the rows
-    * before the rank Window (shared by match-all, term-set and
+    * (docId, doc_id) frame — TakeOrderedAndProject bounds the rows,
+    * driver stamps the ranks (shared by match-all, term-set and
     * attr-only paths). */
-  private[search] def constRankByDocId(perDoc: DataFrame, k: Int): DataFrame =
-    perDoc
+  private[search] def constRankByDocId(perDoc: DataFrame, k: Int): DataFrame = {
+    val winners = perDoc
       .orderBy(asc("docId"))
       .limit(k)
-      .withColumn("rank", row_number().over(Window.orderBy(asc("docId"))))
-      .select(col("rank").cast("int").as("rank"), col("doc_id"))
-      .orderBy("rank")
+      .select(col("docId").cast("long").as("docId"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[(Long, Long)].collect()
+      .sortBy(_._1)
+    winners.toSeq.zipWithIndex
+      .map { case ((_, id), i) => (i + 1, id) }
+      .toDF("rank", "doc_id")
+  }
 
   /** Single-term top-k: (rank, doc_id). */
   def termTopK(term: String, k: Int): DataFrame =
@@ -212,17 +232,21 @@ final class RelationalPath(idx: graft.index.IndexView) {
   }
 
   /** Deep paging: ranks [lo, hi] of a term query (searchAfter) — top-hi
-    * via TakeOrderedAndProject first, then rank/slice the ≤hi rows. */
-  def termPage(term: String, lo: Int, hi: Int): DataFrame =
-    scoredTf(Seq(term))
-      .select(col("docId"), col("doc_id"), col("score").as("s"))
+    * via TakeOrderedAndProject first, then driver rank/slice of the
+    * ≤hi collected rows. */
+  def termPage(term: String, lo: Int, hi: Int): DataFrame = {
+    val top = scoredTf(Seq(term))
+      .select(col("docId").cast("long").as("docId"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("score").cast("double").as("s"))
       .orderBy(desc("s"), asc("docId"))
       .limit(hi)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("s"), asc("docId"))))
-      .filter(col("rank").between(lo, hi))
-      .select(col("rank").cast("int").as("rank"), col("doc_id"))
-      .orderBy("rank")
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (d, _, s) => (-s, d) }
+    top.toSeq.zipWithIndex
+      .collect { case ((_, id, _), i) if i + 1 >= lo => (i + 1, id) }
+      .toDF("rank", "doc_id")
+  }
 
   /** Collapse: best-scoring doc per group key (lang) for a term query
     * [U solr CollapsingQParserPlugin]. */
@@ -294,6 +318,16 @@ final class RelationalPath(idx: graft.index.IndexView) {
     // term matches (identical to the scorer path's required anchor).
     val hasRequired = mustD.nonEmpty || attrFilter.isDefined
     val effMm = if (hasRequired) mm else math.max(mm, 1)
+    rankTopK(boolPerDoc(mustD, shouldD, mustNot, attrFilter, effMm), k)
+  }
+
+  /** The LAZY scored per-doc frame of the general Boolean query (the
+    * plan rankTopK bounds and collects) — exposed for PlanSpec. */
+  private[search] def boolPerDoc(mustD: Seq[String], shouldD: Seq[String],
+                                 mustNot: Seq[String],
+                                 attrFilter: Option[Column],
+                                 effMm: Int): DataFrame = {
+    val scoredTerms = mustD ++ shouldD
     val scored = scoredTf(scoredTerms)
       .withColumn("isMust", col("term").isin(mustD: _*))
       .groupBy("docId", "doc_id")
@@ -322,7 +356,7 @@ final class RelationalPath(idx: graft.index.IndexView) {
       attrFilter.foreach { pred =>
         out = out.join(idx.docs.filter(pred).select("docId"), Seq("docId"), "left_semi")
       }
-    rankTopK(out, k)
+    out
   }
 
   /** Execute a parsed query string on the relational path (the Solr
@@ -373,6 +407,93 @@ final class RelationalPath(idx: graft.index.IndexView) {
     constRankByDocId(
       docsWithId.filter(fn.cast("double").between(lo, hi))
         .select(col("docId"), col("doc_id")), k)
+
+  /** Geo distance filter + sort-by-distance — the reference's spatial
+    * filter/sort surface [U solr SpatialFilterQParser `{!geofilt}` +
+    * `sort=geodist() asc`; lucene/core/.../document/LatLonPoint.java
+    * #newDistanceQuery]: docs whose point (latSql, lonSql — any SQL
+    * expressions over the docs row) lies within `dKm` of (lat, lon),
+    * ranked by ascending haversine distance, docId (url-rank)
+    * tie-break. The distance is the ValueSources `geodist` Column
+    * (pure codegen trig) and the ≤d predicate filters BEFORE the
+    * bounded TakeOrderedAndProject; ranks stamp on the driver. */
+  def geoTopK(latSql: String, lonSql: String, lat: Double, lon: Double,
+              dKm: Double, k: Int): DataFrame = {
+    val dist = graft.functions.ValueSources.fn("geodist",
+      expr(latSql), expr(lonSql), lit(lat), lit(lon))
+    val winners = docsWithId
+      .withColumn("__d", dist)
+      .filter(col("__d") <= dKm)
+      .orderBy(asc("__d"), asc("docId"))
+      .limit(k)
+      .select(col("docId").cast("long").as("docId"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("__d").cast("double").as("d"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (docId, _, d) => (d, docId) }
+    winners.toSeq.zipWithIndex
+      .map { case ((_, id, _), i) => (i + 1, id) }
+      .toDF("rank", "doc_id")
+  }
+
+  /** Cross-index join — `{!join fromIndex=A}q` [U lucene/join/.../
+    * JoinUtil.java#createJoinQuery, solr JoinQParserPlugin]: hits of
+    * `term` on THIS index, filtered to docs matching `fromTerm` on
+    * `fromIdx`. Both indexes are built over the same corpus in the
+    * same url order, so docIds line up and the join key is docId
+    * itself — a semi join of two postings-derived frames, never a
+    * stored-field comparison. Scores come from this (to-) index only,
+    * as in the reference's ScoreMode.None. */
+  def joinFromIndexTopK(fromIdx: graft.index.IndexView, fromTerm: String,
+                        term: String, k: Int): DataFrame = {
+    val p = scoredTf(Seq(term))
+      .select(col("docId"), col("doc_id"), col("score").as("s"))
+    val f = new RelationalPath(fromIdx).tfTable(Seq(fromTerm))
+      .toDF("term", "docId", "tf").select("docId").distinct()
+    rankTopK(p.join(f, Seq("docId"), "left_semi"), k)
+  }
+
+  /** Interval combinator query — maxgaps(g, ordered(bigTerms))
+    * CONTAINING smallTerm [U lucene/queries/.../intervals/Intervals
+    * #ordered/#maxgaps/#containing]: docs (ascending doc_id) where some
+    * minimal ordered interval of `bigTerms` with ≤ `g` gap positions
+    * contains an occurrence of `smallTerm`. Two-phase like
+    * spanNearDocs: docId pre-intersection on ALL terms (big + small)
+    * from the tf rows, then position decode + the SHARED
+    * Spans.orderedIntervals/maxgaps/containing kernel on the
+    * candidates only. */
+  def intervalContainingDocs(bigTerms: Seq[String], g: Int,
+                             smallTerm: String): DataFrame = {
+    val allTerms = (bigTerms :+ smallTerm).distinct
+    val cands = tfTable(allTerms).toDF("term", "docId", "tf")
+      .groupBy("docId")
+      .agg(countDistinct("term").as("nt"))
+      .filter(col("nt") === allTerms.length)
+      .select("docId")
+    val hits = positionsTable(allTerms)
+    val big = bigTerms
+    val small = smallTerm
+    val kBig = bigTerms.length
+    val verified = hits.join(cands, "docId")
+      .select(col("docId").cast("long"), col("term"), col("pos"))
+      .as[(Long, String, Seq[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        val byTerm = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.foreach { case (_, t, p) => byTerm(t) = p.toArray }
+        if (big.forall(byTerm.contains) && byTerm.contains(small)) {
+          val iv = Spans.maxgaps(
+            Spans.orderedIntervals(big.map(byTerm).toIndexedSeq), kBig, g)
+          val sm = byTerm(small).map(p => (p, p))
+          if (Spans.containing(iv, sm).nonEmpty) Iterator.single(docId)
+          else Iterator.empty
+        } else Iterator.empty
+      }
+      .toDF("docId")
+    verified
+      .join(docsWithId.select("docId", "doc_id"), "docId")
+      .select("doc_id").orderBy("doc_id")
+  }
 
   /** Scored term + non-scoring timestamp-range filter — the
     * PointRangeQuery / BKD analogue over the docs table

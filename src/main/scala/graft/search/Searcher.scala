@@ -329,6 +329,8 @@ object SegmentScorer {
       sys.error(s"attribute predicate not indexed before compile: $name")
     case AttrRangeQ(name, _, _, _, _) =>
       sys.error(s"attribute predicate not indexed before compile: $name")
+    case GeoFiltQ(latSql, _, _, _, _) =>
+      sys.error(s"geo predicate not indexed before compile: $latSql")
     case TermSetQ(ts, s) =>
       new ConstScorer(new BoolScorer(IndexedSeq.empty, IndexedSeq.empty,
         ts.map(t => termScorer(t, ctx, blocks)).toIndexedSeq,

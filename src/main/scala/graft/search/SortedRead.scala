@@ -27,6 +27,13 @@ object SortedRead {
     // "ids in [min, min+k)" — metadata can't bound the kth live id,
     // so fall back to the exact full scan
     if (!idx.segmentsDense) return fullScanTopK(idx, k)
+    new RelationalPath(idx).constRankByDocId(earlyWinnersFrame(idx, k), k)
+  }
+
+  /** The LAZY pruned candidate frame earlyTopK bounds and collects —
+    * exposed so tests can assert the pushed docId-window predicates
+    * (the collected result is a LocalRelation). */
+  def earlyWinnersFrame(idx: InvertedIndex, k: Int): DataFrame = {
     val rel = new RelationalPath(idx)
     // deleted docs inside a window would push the kth live doc past it;
     // widening by the (bounded) tombstone count keeps this exact
@@ -35,8 +42,7 @@ object SortedRead {
       col("docId").between(s.minDocId,
         math.min(s.maxDocId, s.minDocId + k - 1 + slack))
     }.reduce(_ || _)
-    rel.constRankByDocId(
-      rel.docsWithId.filter(pred).select(col("docId"), col("doc_id")), k)
+    rel.docsWithId.filter(pred).select(col("docId"), col("doc_id"))
   }
 
   /** Full-scan equivalent (for tests/bench comparison): rank every live

@@ -20,6 +20,63 @@ package graft.search
   */
 object Spans {
 
+  /** Minimal ORDERED intervals of the clause list — the
+    * Intervals.ordered(...) source [U lucene/queries/.../intervals/
+    * OrderedIntervalsSource.java]: for each anchor position of clause 1
+    * the greedy completion (each next clause takes its smallest
+    * position after the previous) yields the tightest end for that
+    * anchor; the minimal set keeps only intervals that contain no other
+    * interval. Greedy ends are non-decreasing over ascending anchors
+    * and starts are strictly increasing, so containment can only occur
+    * between intervals with EQUAL ends — keep the latest anchor per
+    * end. Returns (start, end) pairs, ascending. */
+  def orderedIntervals(posLists: IndexedSeq[Array[Int]]): Array[(Int, Int)] = {
+    val k = posLists.length
+    if (k == 0 || posLists.exists(_.isEmpty)) return Array.empty
+    if (k == 1) return posLists.head.map(p => (p, p))
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val first = posLists(0)
+    var a = 0
+    while (a < first.length) {
+      val p1 = first(a)
+      var cur = p1
+      var ok = true
+      var i = 1
+      while (ok && i < k) {
+        val ps = posLists(i)
+        var idx = java.util.Arrays.binarySearch(ps, cur + 1)
+        if (idx < 0) idx = -idx - 1
+        if (idx >= ps.length) ok = false else cur = ps(idx)
+        i += 1
+      }
+      if (ok) raw += ((p1, cur))
+      a += 1
+    }
+    raw.indices.iterator
+      .filter(i => i == raw.length - 1 || raw(i + 1)._2 > raw(i)._2)
+      .map(raw).toArray
+  }
+
+  /** MAXGAPS filter [U …/intervals/Intervals#maxgaps]: an interval of a
+    * k-clause source has `width − k` gap positions; keep those with at
+    * most `g`. */
+  def maxgaps(intervals: Array[(Int, Int)], k: Int, g: Int): Array[(Int, Int)] =
+    intervals.filter { case (s, e) => (e - s + 1) - k <= g }
+
+  /** CONTAINING combinator [U …/intervals/Intervals#containing]: the
+    * `big` intervals that contain at least one `small` interval. */
+  def containing(big: Array[(Int, Int)],
+                 small: Array[(Int, Int)]): Array[(Int, Int)] =
+    big.filter { case (bs, be) =>
+      small.exists { case (ss, se) => bs <= ss && se <= be } }
+
+  /** WITHIN combinator [U …/intervals/Intervals#within]: the `small`
+    * intervals lying inside at least one `big` interval. */
+  def within(small: Array[(Int, Int)],
+             big: Array[(Int, Int)]): Array[(Int, Int)] =
+    small.filter { case (ss, se) =>
+      big.exists { case (bs, be) => bs <= ss && se <= be } }
+
   /** freq of the near-window match; 0 = no match. Position arrays must
     * be ascending (they are: token indexes). */
   def spanFreq(posLists: IndexedSeq[Array[Int]], slop: Int,

@@ -173,7 +173,9 @@ class IndexSpec extends SparkSpec {
     val full = SortedRead.fullScanTopK(idx, 3).collect().toSeq
     assert(early === full)
     // the per-segment docId windows are pushed into the docs scan
-    val p = SortedRead.earlyTopK(idx, 3).queryExecution
+    // (assert on the lazy candidate frame — the topK result itself is
+    // a driver-ranked LocalRelation)
+    val p = SortedRead.earlyWinnersFrame(idx, 3).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("PushedFilters") && p.contains("docId"), p.take(3000))
     assert(CheckIndex.audit(idx).isEmpty)

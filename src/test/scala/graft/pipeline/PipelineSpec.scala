@@ -31,6 +31,31 @@ class PipelineSpec extends SparkSpec {
     assert(g(3L) === 3L)
   }
 
+  test("dedup verdict faces: 10^5 planted identical docs, NO per-signature Window") {
+    import spark.implicits._
+    // one text value dominating the corpus — the degenerate group that
+    // breaks a Window-partitioned-by-signature plan (every row of the
+    // group in one task); groupBy+join keeps per-task input bounded by
+    // map-side partial aggregation
+    val n = 100000
+    val big = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 10 === 0, concat(lit("unique-"), col("id").cast("string")))
+        .otherwise(lit("the same boilerplate page body")).as("text"))
+    val verdict = Dedup.exactDedup(big)
+    val pe = verdict.queryExecution.executedPlan.toString
+    assert(!pe.contains("Window"), s"per-signature Window in exactDedup plan:\n${pe.take(2000)}")
+    val dupRows = verdict.filter(col("doc_id") =!= col("keep_id")).count()
+    assert(dupRows === (n - n / 10 - 1).toLong) // all dominators except the keeper
+    // signatureDedup: same corpus through the URP face — one survivor
+    // for the dominating signature, every unique row kept
+    val kept = Urp.signatureDedup(Seq("text"), "doc_id")(big)
+    val pk = kept.queryExecution.executedPlan.toString
+    assert(!pk.contains("Window"), s"per-signature Window in signatureDedup plan:\n${pk.take(2000)}")
+    assert(kept.count() === (n / 10 + 1).toLong)
+    assert(kept.filter(col("text") === "the same boilerplate page body")
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L)) // min key
+  }
+
   test("ngram jaccard finds planted near-dups, skips unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docsDf(corpus), n = 3, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

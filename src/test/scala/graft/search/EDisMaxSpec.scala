@@ -21,6 +21,27 @@ class EDisMaxSpec extends SparkSpec {
     assert(EDisMax.parse("a b c", "67%").mmCount === 2) // floor(2.01)
   }
 
+  test("stepped mm spec: conditional steps, negatives, clamping (Solr goldens)") {
+    import EDisMax.mmFromSpec
+    // absolutes and plain percentages
+    assert(mmFromSpec("3", 5) === 3)
+    assert(mmFromSpec("-2", 5) === 3) // all but 2
+    assert(mmFromSpec("75%", 4) === 3)
+    assert(mmFromSpec("-25%", 4) === 3) // 25% may be missing
+    assert(mmFromSpec("9", 5) === 5) // clamped to optional count
+    // the SolrPluginUtils javadoc example: "2<-25% 9<-3"
+    //  ≤2 clauses → all required; 3..9 → all but 25%; >9 → all but 3
+    assert(mmFromSpec("2<-25% 9<-3", 1) === 1)
+    assert(mmFromSpec("2<-25% 9<-3", 2) === 2)
+    assert(mmFromSpec("2<-25% 9<-3", 5) === 4) // 25% of 5 → 1 missing
+    assert(mmFromSpec("2<-25% 9<-3", 10) === 7)
+    // simple step: at or below the threshold all required
+    assert(mmFromSpec("2<67%", 2) === 2)
+    assert(mmFromSpec("2<67%", 3) === 2) // floor(67% of 3)
+    // step order in the spec string does not matter
+    assert(mmFromSpec("9<-3 2<-25%", 10) === 7)
+  }
+
   test("percentage mm counts the EXECUTED optional list, not raw tokens") {
     // "+spark spark merge": spark is absorbed into must, so only `merge`
     // remains optional — 100% must demand 1, not 2 (which would be

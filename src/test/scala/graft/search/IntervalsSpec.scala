@@ -1,0 +1,75 @@
+package graft.search
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Interval-combinator kernel properties: Spans.orderedIntervals must
+  * equal the brute-force minimal-interval set (all ascending
+  * assignments, containment-filtered) on random position lists, and
+  * the maxgaps/containing/within combinators must match their
+  * set-algebra definitions. Pure Scala — no Spark session. */
+class IntervalsSpec extends AnyFunSuite {
+
+  /** Brute force: every assignment picking one position per clause in
+    * strictly ascending clause order yields window (first, last); the
+    * minimal set keeps windows containing no other window. */
+  private def bruteMinimal(posLists: IndexedSeq[Array[Int]]): Set[(Int, Int)] = {
+    if (posLists.isEmpty || posLists.exists(_.isEmpty)) return Set.empty
+    var windows = Set.empty[(Int, Int)]
+    def rec(i: Int, prev: Int, start: Int): Unit =
+      if (i == posLists.length) windows += ((start, prev))
+      else posLists(i).foreach { p =>
+        if (i == 0) rec(i + 1, p, p)
+        else if (p > prev) rec(i + 1, p, start)
+      }
+    rec(0, Int.MinValue, 0)
+    windows.filter { case (s, e) =>
+      !windows.exists { case (s2, e2) =>
+        (s2, e2) != (s, e) && s <= s2 && e2 <= e }
+    }
+  }
+
+  test("orderedIntervals == brute-force minimal intervals (randomized)") {
+    val rnd = new Random(4242L)
+    (1 to 300).foreach { trial =>
+      val k = 1 + rnd.nextInt(3)
+      val lists = IndexedSeq.fill(k) {
+        val n = 1 + rnd.nextInt(6)
+        Array.fill(n)(rnd.nextInt(30)).distinct.sorted
+      }
+      val got = Spans.orderedIntervals(lists).toSet
+      val want = bruteMinimal(lists)
+      assert(got === want, s"trial $trial lists=${lists.map(_.toSeq)}")
+    }
+  }
+
+  test("orderedIntervals: ascending starts, non-decreasing ends, no nesting") {
+    val rnd = new Random(77L)
+    (1 to 100).foreach { _ =>
+      val lists = IndexedSeq.fill(1 + rnd.nextInt(3)) {
+        Array.fill(1 + rnd.nextInt(8))(rnd.nextInt(40)).distinct.sorted
+      }
+      val iv = Spans.orderedIntervals(lists)
+      iv.sliding(2).foreach {
+        case Array((s1, e1), (s2, e2)) =>
+          assert(s1 < s2 && e1 < e2, iv.toSeq.toString)
+        case _ => ()
+      }
+    }
+  }
+
+  test("maxgaps / containing / within combinators: set-algebra definitions") {
+    // clause positions: a at 0,10; b at 3,12 → ordered intervals
+    // (0,3), (10,12)
+    val iv = Spans.orderedIntervals(IndexedSeq(Array(0, 10), Array(3, 12)))
+    assert(iv.toSeq === Seq((0, 3), (10, 12)))
+    // gaps: (0,3) has width 4 − 2 = 2 gaps; (10,12) has 1
+    assert(Spans.maxgaps(iv, 2, 1).toSeq === Seq((10, 12)))
+    assert(Spans.maxgaps(iv, 2, 2).toSeq === Seq((0, 3), (10, 12)))
+    // containing: single-position smalls
+    val small = Array((2, 2), (20, 20))
+    assert(Spans.containing(iv, small).toSeq === Seq((0, 3)))
+    assert(Spans.within(small, iv).toSeq === Seq((2, 2)))
+  }
+}

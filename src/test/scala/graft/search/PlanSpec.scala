@@ -55,27 +55,34 @@ class PlanSpec extends SparkSpec {
       p.drop(ix).contains("HashAggregate"), p.take(3000))
   }
 
-  test("relational top-k is TakeOrderedAndProject; Window only over ≤k rows") {
+  test("relational top-k winners frame: TakeOrderedAndProject, ZERO Window") {
     val rel = new RelationalPath(idx)
-    val df = rel.termTopK("spark", 10)
-    val p = plan(df)
+    // the lazy frame rankTopK collects (ranks are stamped driver-side
+    // over the ≤k winners, so the executed plan has no Window at all)
+    val perDoc = rel.scoredTf(Seq("spark"))
+      .select(col("docId"), col("doc_id"), col("score").as("s"))
+    val p = plan(rel.topKWinnersFrame(perDoc, 10))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
-    // the ranking Window must sit ABOVE the TakeOrderedAndProject (i.e.
-    // it only ever sees the ≤k survivors, never the full match set)
-    val iTop = p.indexOf("TakeOrderedAndProject")
-    val iWin = p.indexOf("Window")
-    assert(iWin < 0 || iWin < iTop, // formatted plans print top-down
-      s"Window below TakeOrdered: win=$iWin top=$iTop\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"rank tails are driver-stamped — no Window operator\n${p.take(3000)}")
   }
 
-  test("generic boolTopK: TakeOrderedAndProject + broadcast stats + anti join") {
+  test("generic boolPerDoc winners: TakeOrdered + broadcast stats + anti join, ZERO Window") {
     val rel = new RelationalPath(idx)
-    val df = rel.boolTopK(Seq("spark"), Seq("join"), Seq("merge"), None, 0, 10)
+    val df = rel.topKWinnersFrame(
+      rel.boolPerDoc(Seq("spark"), Seq("join"), Seq("merge"), None, 0), 10)
     val p = plan(df)
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       p.take(3000))
     assert(p.contains("LeftAnti"), p.take(3000)) // mustNot
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("edismax bf feature scan: candidate ids pushed into the docs scan") {
+    val p = plan(EDisMax.bfFeatures(idx, log(col("dl") + lit(1L)),
+      Some(Seq(1L, 2L, 3L))))
+    assert(p.contains("In(docId"), p.take(3000))
   }
 
   test("attr-range predicate pushes into the docs parquet scan") {
@@ -147,19 +154,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("LTR re-rank plan: broadcast candidates, TakeOrdered, no unbounded Window") {
+  test("LTR feature fetch: candidate ids PUSHED into the docs scan, broadcast, ZERO Window") {
     val model = Ltr.LinearModel(
       Seq("base" -> col("s"), "dl" -> col("dl").cast("double")),
       Seq(1.0, 0.001))
-    val p = plan(Ltr.rescore(idx, Seq("spark", "merge"), 30, 10, model))
-    // candidate selection and the final re-rank are both bounded heaps
-    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(3000))
+    val cands = Seq((1L, 1L, 2.0), (3L, 3L, 1.5), (7L, 7L, 1.0))
+    val p = plan(Ltr.candidateFeatures(idx, cands, model))
+    // the ≤topN candidate ids ship as a pushed isin predicate — the
+    // feature fetch reads the candidates' row groups, never the corpus
+    assert(p.contains("In(docId"), p.take(3000))
     // the ≤topN candidate side broadcasts into the feature join
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       p.take(3000))
-    val iTop = p.indexOf("TakeOrderedAndProject")
-    val iWin = p.indexOf("Window")
-    assert(iWin < 0 || iWin < iTop, "Window below TakeOrdered in LTR plan")
+    assert(!p.contains("Window"), p.take(3000))
+    // end-to-end: ranks stamped on the driver, result non-empty
+    assert(Ltr.rescore(idx, Seq("spark", "merge"), 30, 10, model)
+      .collect().nonEmpty)
   }
 
   test("term-vectors fetch: doc predicate prunes the stored-fields scan") {

@@ -94,8 +94,15 @@ class RandomizedSearchSpec extends SparkSpec {
 
   test("engine ≡ SpecOracle on random corpora × random query trees") {
     // extra seeds via env for soak runs: GRAFT_RAND_EXTRA_SEEDS=7,8,9
+    // (malformed tokens fail fast with the env var named, instead of an
+    // opaque NumberFormatException aborting the suite before any seed)
     val extra = sys.env.get("GRAFT_RAND_EXTRA_SEEDS").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map { tok =>
+        require(tok.matches("-?\\d+"),
+          s"GRAFT_RAND_EXTRA_SEEDS: malformed seed token '$tok'")
+        tok.toLong
+      }
     (Seq(42L, 1337L, 90210L) ++ extra).foreach { seed =>
       val rnd = new Random(seed)
       val corpus = mkCorpus(rnd, 150 + rnd.nextInt(150))

@@ -154,6 +154,75 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("geo filter: scorer-path GeoFiltQ bitset == relational haversine filter") {
+    import org.apache.spark.sql.functions._
+    // lat/lon synthesized from the url-embedded corpus id (the docs
+    // table carries no doc_id column — the predicate must compile over
+    // the docs row, like any attribute filter)
+    val latSql = "cast(cast(element_at(split(url, '/'), -1) as bigint) % 120 as double) - 59.5"
+    val lonSql = "cast((cast(element_at(split(url, '/'), -1) as bigint) * 7) % 360 as double) - 179.5"
+    val geo = GeoFiltQ(latSql, lonSql, 10.0, 20.0, 5000.0)
+    val got = searcher.topK(BoolQ(must = Seq(TermQ("the")),
+        filter = Seq(geo)), 10)
+      .collect().map(_.getLong(1)).toSeq
+    // reference: same term hits, docs filtered by the same Column
+    // predicate evaluated relationally
+    val pred = RelationalPath.attrPredColumn(idx.docs.schema, geo)
+    val inGeo = idx.docs.filter(pred).collect().map(_.docId).toSet
+    val want = searcher.topK(TermQ("the"), 1000).collect()
+      .map(r => (r.getLong(1), r.getFloat(3)))
+      .filter { case (d, _) => inGeo(d) }
+      .sortBy { case (d, s) => (-s, d) }
+      .take(10).map(_._1).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("cross-index join: to-index scores, from-index membership") {
+    import org.apache.spark.sql.functions._
+    val urlIdx = SparkEntry.urlIndex(spark, sfDir)
+    val rel = new RelationalPath(idx)
+    val got = rel.joinFromIndexTopK(urlIdx, "src3", "spark", 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // reference: spark hits on the body index, kept iff the doc's url
+    // field (source segment) tokenizes to src3
+    val inFrom = idx.docs
+      .filter(col("url").contains("/src3/")).collect().map(_.docId).toSet
+    // scorer output keys are engine docIds; map to corpus doc_id via
+    // the url's trailing id segment for comparison with the relational
+    // (rank, doc_id) face
+    val want = searcher.topK(TermQ("spark"), 1000).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getFloat(3)))
+      .filter { case (d, _, _) => inFrom(d) }
+      .sortBy { case (d, _, s) => (-s, d) }
+      .take(10).zipWithIndex
+      .map { case ((_, url, _), i) => (i + 1, url.split('/').last.toLong) }.toSeq
+    // scorer path float32 vs relational double ranks: compare doc sets
+    // and both orders where scores are non-tied (the gate hash-verifies
+    // the exact relational order against DuckDB; here membership)
+    assert(got.map(_._2).toSet === want.map(_._2).toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("interval containing: kernel decision == brute positions per doc") {
+    val rel = new RelationalPath(idx)
+    val got = rel.intervalContainingDocs(Seq("spark", "merge"), 10, "join")
+      .collect().map(_.getLong(0)).toSeq
+    // brute force straight from the raw documents table
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.split(' ')
+      def ps(t: String) = toks.indices.filter(toks(_) == t).toArray
+      val iv = Spans.maxgaps(Spans.orderedIntervals(
+        IndexedSeq(ps("spark"), ps("merge"))), 2, 10)
+      val small = ps("join").map(p => (p, p))
+      if (Spans.containing(iv, small).nonEmpty) Some(id) else None
+    }.sorted.toSeq
+    assert(got === want)
+  }
+
   test("CheckIndex audit clean on sf0.001") {
     assert(CheckIndex.audit(idx).isEmpty)
   }
