@@ -145,6 +145,27 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
   /** The url cache if warm() loaded it — never triggers a job. */
   def urlMapIfLoaded: Option[Map[Long, String]] = urlsMap
 
+  /** Filter cache — the Solr filterCache / getDocSet analogue
+    * [U solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java
+    * filterCache]: the docId set of a non-scoring attribute predicate
+    * is computed ONCE and reused by every query carrying the same
+    * filter, replacing the per-query docs-table scan + cogroup with a
+    * broadcast bitmap. Single-JVM serving keeps one global bitmap
+    * (docCount bits — 5 KB per cached filter at 40 k docs); a cluster
+    * deployment holds the same cache as per-segment slices pinned on
+    * the executors (the per-searcher cache of the reference). */
+  private val filterBitsets =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.BitSet]()
+
+  /** Cache is live only in warm serving mode with int-addressable
+    * docIds (a cold/batch path never pays the collect). */
+  def filterCacheEnabled: Boolean =
+    cached.nonEmpty && segments.nonEmpty &&
+      segments.last.maxDocId < Int.MaxValue.toLong
+
+  def filterCache(key: String)(build: => java.util.BitSet): java.util.BitSet =
+    filterBitsets.computeIfAbsent(key, _ => build)
+
   /** Pin the segment tables in executor memory and materialize them —
     * the analogue of a warm MMapDirectory + preloaded norms in the
     * reference's "warm searcher" serving mode. Opt-in: at full corpus

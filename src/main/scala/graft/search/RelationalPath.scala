@@ -249,13 +249,17 @@ final class RelationalPath(idx: graft.index.IndexView) {
   }
 
   /** Collapse: best-scoring doc per group key (lang) for a term query
-    * [U solr CollapsingQParserPlugin]. */
+    * [U solr CollapsingQParserPlugin]. Argmax via max_by over the total
+    * order (score desc, docId asc) — one hash aggregation with
+    * map-side partials, so per-task input stays bounded even when one
+    * group holds most of the corpus (a Window partitioned by the group
+    * key would move the whole group into a single task). */
   def collapseByLang(term: String): DataFrame =
     scoredTf(Seq(term))
       .join(idx.docs.select(col("docId"), col("lang")), "docId")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy(desc("score"), asc("docId"))))
-      .filter(col("rn") === 1)
+      .groupBy("lang")
+      .agg(max_by(col("doc_id"),
+        struct(col("score"), (-col("docId")).as("nd"))).as("doc_id"))
       .select(col("lang"), col("doc_id"))
       .orderBy("lang")
 
@@ -263,15 +267,24 @@ final class RelationalPath(idx: graft.index.IndexView) {
     * re-attach the next `perGroup` members of each group
     * [U solr/core/.../handler/component/ExpandComponent.java] —
     * ranks 2..perGroup+1 of the per-group ordering (the collapsed head
-    * is rank 1, returned by collapseByLang). */
-  def expandByLang(term: String, perGroup: Int = 3): DataFrame =
+    * is rank 1, returned by collapseByLang). Per-group bounded
+    * TopKAggregator (the same O(k)-buffer ObjectHashAggregate as the
+    * ANN rank path — ties by docId asc, identical to the Window order
+    * it replaces), never a per-group sort of the whole group. */
+  def expandByLang(term: String, perGroup: Int = 3): DataFrame = {
+    val top = graft.pipeline.TopKAggregator.topK(perGroup + 1)(
+      col("score"), col("docId"))
     scoredTf(Seq(term))
       .join(idx.docs.select(col("docId"), col("lang")), "docId")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy(desc("score"), asc("docId"))))
-      .filter(col("rn") > 1 && col("rn") <= perGroup + 1)
-      .select(col("lang"), col("rn").cast("int").as("rank"), col("doc_id"))
+      .groupBy("lang").agg(top.as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .filter(col("pos") >= 1) // pos 0 = the collapsed head (rank 1)
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("docId"))
+      .join(docsWithId.select("docId", "doc_id"), "docId")
+      .select(col("lang"), col("rank"), col("doc_id"))
       .orderBy("lang", "rank")
+  }
 
   /** Field facet over the result set: matching-doc counts per lang
     * [U solr facet module / FacetField]. */

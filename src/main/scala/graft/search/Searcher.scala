@@ -155,6 +155,38 @@ final class Searcher(idx: graft.index.IndexView) extends Serializable {
       if (terms.isEmpty) idx.postings.limit(0)
       else idx.postings.filter(col("term").isin(terms: _*))
     val kk = k
+    // warm-serving filter cache (Solr filterCache): every attribute
+    // predicate's docId bitmap is computed once and broadcast — the
+    // per-query docs scan + cogroup disappears entirely for cached
+    // filters (match-all and deletes still need live docs rows)
+    val cachedPredBits: Option[IndexedSeq[java.util.BitSet]] = idx match {
+      case inv: graft.index.InvertedIndex
+          // termAnchored: every candidate doc must have postings rows
+          // for the query terms in its own segment, or the postings
+          // groupByKey would drop whole segments (an attr-anchored
+          // query like `+lang:en -spark` — terms only under MUST_NOT —
+          // must keep the docs cogroup path)
+          if Query.termAnchored(q) && preds.nonEmpty && !hasMatchAll &&
+            !idx.hasDeletes && inv.filterCacheEnabled =>
+        Some(preds.map { p =>
+          inv.filterCache(p.toString) {
+            val bits = new java.util.BitSet()
+            idx.docs.filter(coalesce(predColumn(p), lit(false)))
+              .select("docId").collect()
+              .foreach(r => bits.set(r.getLong(0).toInt))
+            bits
+          }
+        }.toIndexedSeq)
+      case _ => None
+    }
+    if (cachedPredBits.isDefined) {
+      val bcBits = idx.spark.sparkContext.broadcast(cachedPredBits.get)
+      val aft = after
+      return rows.groupByKey(_.segId).flatMapGroups { (segId, ps) =>
+        SegmentScorer.score(bcQ.value, bcCtx.value, ps, None, kk, aft,
+          bcBits.value)
+      }
+    }
     // deletes are subtracted INSIDE the per-segment scorer (a deleted
     // doc must not occupy a top-k slot), via the docs cogroup path
     if (Query.needsDocs(q) || idx.hasDeletes) {
@@ -225,7 +257,9 @@ object SegmentScorer {
             postings: Iterator[PostingsRow],
             docsIt: Option[Iterator[(Int, Long, Seq[Boolean], Boolean)]],
             k: Int,
-            after: Option[(Float, Long)] = None): Iterator[(Long, Float)] = {
+            after: Option[(Float, Long)] = None,
+            globalPredBits: IndexedSeq[java.util.BitSet] = IndexedSeq.empty)
+      : Iterator[(Long, Float)] = {
     // term → salt-ordered concatenated blocks
     val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingsRow]]
     postings.foreach { r =>
@@ -239,7 +273,10 @@ object SegmentScorer {
     // per-predicate bitsets + all-docs bitset + deleted bitset — 1 bit
     // per segment doc, shared base docId
     var deleted: Option[(java.util.BitSet, Long)] = None
-    var predBits: IndexedSeq[(java.util.BitSet, Long)] = IndexedSeq.empty
+    // filter-cache mode: predicate bitmaps arrive pre-built (global
+    // docId base 0) instead of from per-query docs rows
+    var predBits: IndexedSeq[(java.util.BitSet, Long)] =
+      globalPredBits.map(b => (b, 0L))
     var allBits: Option[(java.util.BitSet, Long)] = None
     docsIt.foreach { it =>
       val rows = it.toArray

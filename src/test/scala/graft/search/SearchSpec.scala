@@ -92,6 +92,36 @@ class SearchSpec extends SparkSpec {
       relDocIds(rel.filterTopK("spark", "en", 10)))
   }
 
+  test("filterCache: warm serving path (broadcast bitmap) == SpecOracle on attr filters") {
+    // warming enables the Solr-filterCache analogue: cached predicate
+    // bitmaps replace the per-query docs cogroup — results must stay
+    // float32-identical to the oracle, and a second run (cache hit)
+    // must agree with the first
+    val warmIdx = SparkEntry.index(spark, sfDir).warm()
+    assert(warmIdx.filterCacheEnabled)
+    val s2 = new Searcher(warmIdx)
+    val filtered = Seq(
+      BoolQ(must = Seq(TermQ("spark")), filter = Seq(AttrQ("lang", "en"))),
+      BoolQ(must = Seq(TermQ("the")), mustNot = Seq(TermQ("merge")),
+        filter = Seq(AttrQ("lang", "de"))),
+      BoolQ(should = Seq(TermQ("window"), TermQ("batch")),
+        filter = Seq(AttrQ("lang", "en"))),
+      // attr-ANCHORED (terms only under mustNot / optional should):
+      // must NOT take the cache fast path — segments without the terms
+      // still hold candidates (regression: warmed shared index broke
+      // QueryParserSpec's `+lang:en -spark`)
+      BoolQ(must = Seq(AttrQ("lang", "en")), mustNot = Seq(TermQ("spark"))),
+      BoolQ(should = Seq(TermQ("window")), filter = Seq(AttrQ("lang", "de"))))
+    filtered.foreach { q =>
+      val run1 = s2.topK(q, 10).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getFloat(3))).toSeq
+      val run2 = s2.topK(q, 10).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getFloat(3))).toSeq
+      assert(run1 === oracle.topK(q, 10), s"warm filter mismatch on $q")
+      assert(run1 === run2, s"cache hit diverged on $q")
+    }
+  }
+
   test("searchAfter page 2 of MatchAll is not hidden by the dense-prefix cutoff") {
     // MatchAll scores are constant ⇒ rank is docId order; page 2 must be
     // docIds k..2k-1, which live PAST the first-k-per-segment cutoff the
