@@ -22,7 +22,7 @@ import graft.search.{GraphStreams, Query, RelationalPath, Searcher, TermQ}
 object SparkEntry {
 
   /** Bump when the on-disk index format changes (stale caches rebuild). */
-  private val FormatVersion = "v6" // v6: _gram_meta.json sidecar on the suggest ngram table; v5: stored text column in docs (staged sorted corpus); v4: termstats (tlen, cmask)
+  private val FormatVersion = "v7" // v7: suggest gram table carries (weight, glen, gmask); v6: _gram_meta.json sidecar on the suggest ngram table; v5: stored text column in docs (staged sorted corpus); v4: termstats (tlen, cmask)
 
   private val indexes = new ConcurrentHashMap[String, InvertedIndex]()
 
@@ -362,6 +362,22 @@ object SparkEntry {
     // ---- reference streaming-expression / facet analogues (§2.5-2.7) ----
     "sx_facet_field" -> ((s, d) => docsTable(s, d)
       .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")),
+    // facet.prefix [U solr FacetField prefix]: the bucket enumeration
+    // is pruned by a pushdown-able prefix predicate BEFORE the count
+    "sx_facet_prefix" -> ((s, d) => docsTable(s, d)
+      .filter(col("source").startsWith("src1"))
+      .groupBy("source").agg(count(lit(1)).as("n")).orderBy("source")),
+    // interval facets [U solr IntervalFacets]: arbitrary open/closed
+    // per-interval bounds as one CASE column — single pass, no shuffle
+    // beyond the count agg (intervals may overlap in Solr; these don't,
+    // so one CASE suffices; overlapping sets would be one filter+agg
+    // per interval unioned)
+    "sx_facet_interval" -> ((s, d) => docsTable(s, d)
+      .withColumn("interval",
+        when(col("n_chars") <= 150, "[*,150]")
+          .when(col("n_chars") <= 300, "(150,300]")
+          .otherwise("(300,*]"))
+      .groupBy("interval").agg(count(lit(1)).as("n")).orderBy("interval")),
     "sx_facet_range" -> ((s, d) => tpch(s, d, "events")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n")).orderBy("day")),
@@ -545,6 +561,53 @@ object SparkEntry {
         .select(col("doc_id"), col("src_norm"), col("lang"),
           length(col("text")).cast("long").as("snip_len"))
         .orderBy("doc_id")
+    }),
+    // query($q) + boost function query (§2.10): subquery BM25 score as
+    // a left-joined default-0 column inside ValueSources arithmetic
+    "ir_q47_boostfn" -> ((s, d) => rel(s, d).boostFnTopK("spark", "merge", 10)),
+    // relevance value-sources: termfreq/docfreq/ttf/idf/numdocs/
+    // sumtotaltermfreq/norm as columns (driver-scalar stats + one
+    // left-joined tf frame — no corpus jobs)
+    "fn_relevance" -> ((s, d) => rel(s, d).relevanceFrame("spark")),
+    // ord/rord (dictionary-ranked, never a corpus Window) + scale
+    // (global min-max rescale) over the documents table
+    "fn_ordscale" -> ((s, d) => {
+      import graft.functions.{ValueSources => V}
+      val docs = docsTable(s, d)
+      val mm = docs.agg(min(col("n_chars")).cast("double"),
+        max(col("n_chars")).cast("double")).head()
+      V.rord(docs, "lang")
+        .select(col("doc_id"),
+          col("lang_ord").cast("long").as("f_ord"),
+          col("lang_rord").cast("long").as("f_rord"),
+          floor(V.scale(col("n_chars").cast("double"),
+            mm.getDouble(0), mm.getDouble(1), 0, 100) * lit(1e6))
+            .cast("long").as("f_scale_q"))
+        .orderBy("doc_id")
+    }),
+    // fuzzy-prefix suggester (FuzzySuggester): glen/gmask-pruned gram
+    // scan, banded levenshtein, weight-ranked
+    "ir_q48_suggest_fuzzy" -> ((s, d) => {
+      val dir = s"/root/repo/target/gindex/$FormatVersion/" +
+        d.replaceAll("[^A-Za-z0-9.]+", "_") + "-suggest"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+        graft.search.Suggest.buildNgramIndex(index(s, d), dir)
+      graft.search.Suggest.suggestFuzzy(s, dir, "spar", 1, 10)
+    }),
+    // arbitrary-weight suggester (weightField): weight = Σ n_chars of
+    // the docs containing the term, supplied by the caller at build
+    "ir_q49_suggest_weighted" -> ((s, d) => {
+      val dir = s"/root/repo/target/gindex/$FormatVersion/" +
+        d.replaceAll("[^A-Za-z0-9.]+", "_") + "-suggestw"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+        val entries = docsTable(s, d)
+          .select(col("n_chars"), explode(array_distinct(
+            graft.analysis.Analysis.analyzeCol(
+              col("text"), Nil, stem = false, Map.empty))).as("term"))
+          .groupBy("term").agg(sum("n_chars").cast("long").as("weight"))
+        graft.search.Suggest.buildSuggestIndex(entries, dir)
+      }
+      graft.search.Suggest.suggestWeighted(s, dir, "sp", 10)
     }),
     // ---- function-query registry (§2.10) ----
     "fn_valuesources" -> ((s, d) => {
@@ -1175,6 +1238,13 @@ object SparkEntry {
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "sx_facet_field" ->
       "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang",
+    "sx_facet_prefix" ->
+      """SELECT source, count(*)::BIGINT AS n FROM documents
+        |WHERE source LIKE 'src1%' GROUP BY source ORDER BY source""".stripMargin,
+    "sx_facet_interval" ->
+      """SELECT CASE WHEN n_chars <= 150 THEN '[*,150]'
+        |  WHEN n_chars <= 300 THEN '(150,300]' ELSE '(300,*]' END AS interval,
+        |count(*)::BIGINT AS n FROM documents GROUP BY 1 ORDER BY interval""".stripMargin,
     "sx_facet_range" ->
       "SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1 ORDER BY day",
     "sx_rollup" ->
@@ -1358,6 +1428,64 @@ object SparkEntry {
         |)
         |SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
+    // query($q)+boost twin: anchor BM25 + 0.5·subquery (default 0),
+    // times recip(abs(dl−100),1,1000,1) — same double arithmetic order
+    "ir_q47_boostfn" -> topkSql(
+      """SELECT s.doc_id,
+        |  (s.score + 0.5 * coalesce(q.qsub, 0)) * (1000 / (1 * abs(l.dl - 100) + 1)) AS s
+        |FROM scored s
+        |LEFT JOIN (SELECT doc_id, sum(score) AS qsub FROM scored
+        |           WHERE term = 'merge' GROUP BY 1) q USING (doc_id)
+        |JOIN dl l USING (doc_id)
+        |WHERE s.term = 'spark'""".stripMargin),
+    // relevance value-sources twin (termfreq/docfreq/ttf/idf/numdocs/
+    // sumttf/norm) from the shared tokenization CTEs
+    "fn_relevance" ->
+      (bm25Cte +
+        """, tfq AS (SELECT doc_id, tf FROM tf WHERE term = 'spark'),
+          |st AS (SELECT coalesce((SELECT df FROM dfs WHERE term = 'spark'), 0)::BIGINT AS df,
+          |       coalesce((SELECT sum(tf) FROM tf WHERE term = 'spark'), 0)::BIGINT AS ttf)
+          |SELECT d.doc_id,
+          |  coalesce(t.tf, 0)::BIGINT AS f_termfreq,
+          |  st.df AS f_docfreq,
+          |  st.ttf AS f_ttf,
+          |  floor(ln(1.0 + (cs.n - st.df + 0.5) / (st.df + 0.5)) * 1e6)::BIGINT AS f_idf_q,
+          |  cs.n::BIGINT AS f_numdocs,
+          |  (SELECT sum(dl)::BIGINT FROM dl) AS f_sumttf,
+          |  q.dlq::BIGINT AS f_norm
+          |FROM documents d LEFT JOIN tfq t USING (doc_id)
+          |  JOIN dlq q USING (doc_id), st, cs
+          |ORDER BY doc_id""".stripMargin),
+    // ord/rord = dictionary ordinal (dense_rank over the value order);
+    // scale = global min-max rescale to [0,100], floor-quantized
+    "fn_ordscale" ->
+      """WITH mm AS (SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx FROM documents),
+        |card AS (SELECT count(DISTINCT lang)::BIGINT AS c FROM documents)
+        |SELECT doc_id,
+        |  (dense_rank() OVER (ORDER BY lang))::BIGINT AS f_ord,
+        |  (card.c + 1 - dense_rank() OVER (ORDER BY lang))::BIGINT AS f_rord,
+        |  floor(((n_chars - mm.mn) / (mm.mx - mm.mn) * 100 + 0) * 1e6)::BIGINT AS f_scale_q
+        |FROM documents, mm, card ORDER BY doc_id""".stripMargin,
+    // fuzzy-suggester twin: a term matches when ANY of its edge grams
+    // (lengths |p|±1) is within 1 edit of the prefix; weight = df
+    "ir_q48_suggest_fuzzy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+        |grams AS (SELECT term, df, substr(term, 1, g) AS gram
+        |  FROM dfs, generate_series(1, 8) t(g) WHERE g <= len(term)),
+        |cand AS (SELECT term, max(df) AS weight FROM grams
+        |  WHERE len(gram) BETWEEN 3 AND 5 AND levenshtein(gram, 'spar') <= 1
+        |  GROUP BY term)
+        |SELECT term, weight::BIGINT AS weight FROM cand
+        |ORDER BY weight DESC, term ASC LIMIT 10""".stripMargin,
+    // weighted-suggester twin: weight = Σ n_chars over docs containing
+    // the term (the arbitrary weightField), prefix lookup
+    "ir_q49_suggest_weighted" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |w AS (SELECT t.term, sum(d.n_chars)::BIGINT AS weight
+        |  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1)
+        |SELECT term, weight FROM w WHERE term LIKE 'sp%'
+        |ORDER BY weight DESC, term ASC LIMIT 10""".stripMargin,
     "fn_valuesources" ->
       """SELECT doc_id,
         |abs(n_chars - 500)::BIGINT AS f_abs,

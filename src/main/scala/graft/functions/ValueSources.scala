@@ -73,7 +73,35 @@ object ValueSources {
     },
     "strdist" -> bin((a, b) =>
       lit(1.0) - levenshtein(a, b) / greatest(length(a), length(b)).cast("double")),
-    "concat" -> (args => concat(args: _*)))
+    "concat" -> (args => concat(args: _*)),
+    // ---- trig / hyperbolic / rounding long tail (same-shape rows of
+    // the Solr registry; all pure codegen built-ins) ----
+    "asin" -> uni(asin), "acos" -> uni(acos), "atan" -> uni(atan),
+    "atan2" -> bin(atan2),
+    "sinh" -> uni(sinh), "cosh" -> uni(cosh), "tanh" -> uni(tanh),
+    "hypot" -> bin(hypot),
+    "deg" -> uni(degrees), "rad" -> uni(radians),
+    "e" -> { case Seq() => lit(math.E)
+             case args => sys.error(s"e() takes no args, got ${args.length}") },
+    "pi" -> { case Seq() => lit(math.Pi)
+              case args => sys.error(s"pi() takes no args, got ${args.length}") },
+    // ---- comparison + boolean functions (Solr 7+ gt/lt/and/or/...;
+    // booleans compose with `if`) ----
+    "gt" -> bin(_ > _), "gte" -> bin(_ >= _),
+    "lt" -> bin(_ < _), "lte" -> bin(_ <= _),
+    "eq" -> bin(_ === _),
+    "not" -> uni(!_),
+    "and" -> (args => args.reduce(_ && _)),
+    "or" -> (args => args.reduce(_ || _)),
+    "xor" -> bin(_ =!= _),
+    // ---- vector distances (DualFloatFunction family): args = the two
+    // points interleaved as (x1..xn, y1..yn) ----
+    "sqedist" -> (args => {
+      require(args.length % 2 == 0 && args.nonEmpty,
+        s"sqedist needs an even arg count, got ${args.length}")
+      val (xs, ys) = args.splitAt(args.length / 2)
+      xs.zip(ys).map { case (x, y) => (x - y) * (x - y) }.reduce(_ + _)
+    }))
     // NOTE: `ord` is deliberately NOT a Column in this registry — a
     // column-level ordinal would be a no-partition Window (the corpus
     // through one task). Use `ValueSources.ord(df, field)` below.
@@ -101,4 +129,63 @@ object ValueSources {
     if (globalMax == globalMin) lit(targetMin)
     else (f - globalMin) / (globalMax - globalMin) *
       (targetMax - targetMin) + targetMin
+
+  /** `dist(p, x1..xn, y1..yn)` — Minkowski p-norm distance between two
+    * points (Solr VectorDistanceFunction). p is a literal in the Solr
+    * syntax, so it is a plain Double here; p=0 counts differing
+    * dimensions (sparseness), p=∞ is Chebyshev. */
+  def dist(p: Double, xs: Seq[Column], ys: Seq[Column]): Column = {
+    require(xs.length == ys.length && xs.nonEmpty, "dist: dimension mismatch")
+    val diffs = xs.zip(ys).map { case (x, y) => abs(x - y) }
+    if (p == 0.0) diffs.map(d => when(d =!= 0.0, 1.0).otherwise(0.0)).reduce(_ + _)
+    else if (p.isPosInfinity) greatest(diffs: _*)
+    else if (p == 1.0) diffs.reduce(_ + _)
+    else if (p == 2.0) sqrt(diffs.map(d => d * d).reduce(_ + _))
+    else pow(diffs.map(pow(_, p)).reduce(_ + _), 1.0 / p)
+  }
+
+  /** `rord(field)` — reverse ordinal (Solr ReverseOrdFieldSource):
+    * cardinality + 1 − ord, from the same bounded dictionary rank as
+    * `ord` (never a corpus-wide Window). Appends `<field>_rord`. */
+  def rord(df: org.apache.spark.sql.DataFrame, field: String): org.apache.spark.sql.DataFrame = {
+    val withOrd = ord(df, field)
+    // dictionary cardinality is the max ordinal — a scalar agg over the
+    // already-ranked column (no second distinct pass)
+    val card = withOrd.agg(max(col(s"${field}_ord"))).head().getInt(0)
+    withOrd.withColumn(s"${field}_rord", lit(card + 1) - col(s"${field}_ord"))
+  }
+}
+
+/** Index-statistic function queries — the Solr relevance ValueSources
+  * (docfreq/ttf/idf/numdocs/maxdoc/sumtotaltermfreq/norm/termfreq)
+  * [U solr ValueSourceParser "docfreq","ttf","idf","norm","termfreq";
+  * lucene/queries/.../function/valuesource/TermFreqValueSource.java].
+  * Per-TERM statistics are scalars: one bounded driver lookup per
+  * DISTINCT query term (the MLT df-lookup shape — never a corpus job),
+  * memoized per instance. `termfreq` is per-document and therefore a
+  * FRAME to left-join (coalesce 0 for non-matching docs), not a scalar.
+  * `norm(field)` is the stored quantized length — the docs table's own
+  * `dlq` column (SmallFloat round-trip of dl), exposed for symmetry. */
+final class IndexFunctions(idx: graft.index.IndexView) {
+  import org.apache.spark.sql.DataFrame
+
+  private val cache =
+    scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+  private def stats(term: String): (Long, Long) =
+    cache.getOrElseUpdate(term,
+      idx.termStats.filter(col("term") === term).select("df", "ttf")
+        .collect().headOption
+        .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L)))
+
+  def docfreq(term: String): Column = lit(stats(term)._1)
+  def totaltermfreq(term: String): Column = lit(stats(term)._2)
+  def sumtotaltermfreq: Column = lit(idx.stats.sumTotalTermFreq)
+  def numdocs: Column = lit(idx.stats.docCount)
+  def maxdoc: Column = lit(idx.stats.docCount)
+
+  /** BM25 idf — the same arithmetic as the scorer path. */
+  def idf(term: String): Column = {
+    val df = stats(term)._1.toDouble
+    lit(math.log(1.0 + (idx.stats.docCount - df + 0.5) / (df + 0.5)))
+  }
 }

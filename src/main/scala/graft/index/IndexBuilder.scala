@@ -108,7 +108,11 @@ object IndexBuilder {
     val sortKey: org.apache.spark.sql.Column = cfg.sortKeySql
       .map(s => concat(expr(s), lit("|"), col("url")))
       .getOrElse(col("url"))
+    val tBounds = System.nanoTime()
     val bounds = keyRangeBounds(spark, pages, sortKey, cfg.numPartitions)
+    stageSec += "bounds" -> (System.nanoTime() - tBounds) / 1e9
+    if (sys.env.contains("GRAFT_PROFILE"))
+      println(f"[build] bounds (sampled key scan) ${(System.nanoTime() - tBounds) / 1e9}%.2f s")
     val bcBounds = spark.sparkContext.broadcast(bounds)
     val pidOf = udf { (key: String) =>
       val b = bcBounds.value
@@ -172,13 +176,27 @@ object IndexBuilder {
     val hotFut: scala.concurrent.Future[(Set[String], Double)] =
       scala.concurrent.Future {
         val t0 = System.nanoTime()
-        val buckets = 1 << 16
-        val keep = math.max(1L, (cfg.hotSampleRate * buckets).toLong)
+        // partition-STRIDE sampling, not row sampling: a url-hash row
+        // filter cannot be pushed below the parquet scan, so a 5% row
+        // sample still DECODES the whole text column — a full-corpus
+        // bandwidth pass contending with the docs stage it overlaps.
+        // Taking every ⌈1/rate⌉-th input partition instead lets the
+        // skipped tasks return without pulling a single row from their
+        // reader (column decode is pull-driven), so the job reads only
+        // ~rate of the corpus bytes. Hot terms are corpus-wide by
+        // definition (df ≥ hotTermDf), so a partition-clustered sample
+        // finds them just as reliably, and correctness is invariant to
+        // the decision either way (salted ≡ unsalted, property-tested).
+        val stride = math.max(1L, math.round(1.0 / cfg.hotSampleRate))
         val src = pages.toDF().select(col("url"), col("text"))
+          .as[(String, String)]
         val sampled =
-          if (cfg.hotSampleRate >= 1.0) src
-          else src.filter(pmod(xxhash64(col("url")), lit(buckets)) < lit(keep))
-        val scale = 1.0 / math.min(1.0, keep.toDouble / buckets)
+          if (stride <= 1) src.toDF("url", "text")
+          else src.mapPartitions { it =>
+            if (TaskContext.getPartitionId() % stride == 0) it
+            else Iterator.empty
+          }.toDF("url", "text")
+        val scale = stride.toDouble
         val hot = sampled
           .select(explode(array_distinct(
             Analysis.analyzeCol(col("text"), cfg.stopWords, cfg.stem, cfg.synonyms))).as("term"))
@@ -202,24 +220,43 @@ object IndexBuilder {
     // staged sorted corpus (stored-fields .fdt analogue). Token COUNT
     // pass is allocation-free.
     val docsPath = s"$dir/docs"
+    // per-partition Σdl rides the docs stage as an accumulator, so the
+    // stats stage needs no corpus job of its own (a ~1 s width-
+    // insensitive floor at every cluster size — pure Amdahl tax on the
+    // N→4N ratio). Keyed by pid and deduped at the driver: a retried /
+    // speculative task re-reports the SAME deterministic value, so
+    // exactly-once is by construction, not by accumulator semantics.
+    val dlAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("dlSumsPerPartition")
     runStage(docsPath, stageSec) {
       parted.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val off = bcOffsets.value(pid)
         val segId = segBase + pid / partsPerSeg
         var i = -1L
+        var dlSum = 0L
+        var reported = false
         // allocation-free count is valid only when no filter changes the
         // token COUNT: stop words remove tokens, multi-word synonyms
         // contract runs (single-word synonyms and stemming are 1:1)
         val fastCount = stopSet.isEmpty && !syn.keysIterator.exists(_.contains(' '))
-        it.map { case (url, lang, text, ts) =>
+        val out = it.map { case (url, lang, text, ts) =>
           i += 1
           val dl =
             if (fastCount) Analysis.countTokens(text, maxLen)
             else Analysis.analyze(text, stopSet, maxLen, stem, syn).length
+          dlSum += dl
           val norm = SmallFloat.intToByte4(dl)
           StagedDoc(segId, off + i, url, lang, dl, norm,
             SmallFloat.byte4ToInt(norm), ts, text)
+        }
+        new Iterator[StagedDoc] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && !reported) { dlAcc.add((pid, dlSum)); reported = true }
+            h
+          }
+          def next(): StagedDoc = out.next()
         }
       }.toDF()
         .write.mode("overwrite").parquet(docsPath)
@@ -227,13 +264,22 @@ object IndexBuilder {
     val docsDf = spark.read.parquet(docsPath)
 
     // ---- collection stats (BM25 inputs; north_star equality gate) ----
+    // docCount is driver-exact (Σcounts); Σdl comes from the docs-stage
+    // accumulator when every partition reported (fresh build), else a
+    // column-pruned agg (resume path, where the docs stage was skipped)
     val statsPath = s"$dir/stats"
     runStage(statsPath, stageSec) {
-      docsDf.agg(
-        count(lit(1)).as("docCount"),
-        sum(col("dl")).cast("long").as("sumTotalTermFreq"))
-        .withColumn("avgdl", col("sumTotalTermFreq") / col("docCount"))
-        .as[CollStats].toDF()
+      val sums = {
+        import scala.jdk.CollectionConverters._
+        dlAcc.value.asScala.toMap
+      }
+      val sumTtf =
+        if (sums.size == cfg.numPartitions) sums.values.sum
+        else docsDf.agg(coalesce(sum(col("dl")), lit(0L)).cast("long"))
+          .head().getLong(0)
+      val row = CollStats(docCount, sumTtf,
+        if (docCount == 0) 0.0 else sumTtf.toDouble / docCount)
+      spark.createDataset(Seq(row)).toDF()
         .coalesce(1).write.mode("overwrite").parquet(statsPath)
     }
     val stats0 = spark.read.parquet(statsPath).as[CollStats].head()

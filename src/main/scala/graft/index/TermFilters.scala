@@ -34,30 +34,33 @@ object TermFilters {
   def cmaskOf(word: String): Long =
     word.foldLeft(0L)((acc, c) => acc | (1L << bitOf(c)))
 
-  /** `cmask` over a `term` column — built-ins only (codegen). */
-  private val cmaskSql: String =
-    """aggregate(split(term, ''), CAST(0 AS BIGINT), (acc, c) ->
+  /** `cmask` over a string column — built-ins only (codegen). */
+  private def cmaskSql(c: String): String =
+    s"""aggregate(split($c, ''), CAST(0 AS BIGINT), (acc, c) ->
       |  acc | shiftleft(CAST(1 AS BIGINT),
       |    CASE WHEN ascii(c) BETWEEN 97 AND 122 THEN ascii(c) - 97
       |         WHEN ascii(c) BETWEEN 48 AND 57 THEN ascii(c) - 22
       |         ELSE 36 END))""".stripMargin
 
-  /** Append (tlen, cmask) to a term-stats frame (build + compaction). */
-  def withFilterCols(termStats: DataFrame): DataFrame =
-    termStats
-      .withColumn("tlen", length(col("term")))
-      .withColumn("cmask", expr(cmaskSql))
+  /** Append (<lenCol>, <maskCol>) filter columns derived from `src`
+    * (term-stats build + compaction; the suggest gram table reuses the
+    * same prefilter shape on its `gram` column). */
+  def withFilterCols(df: DataFrame, src: String = "term",
+                     lenCol: String = "tlen", maskCol: String = "cmask"): DataFrame =
+    df.withColumn(lenCol, length(col(src)))
+      .withColumn(maskCol, expr(cmaskSql(src)))
 
-  /** Prune a term-stats scan to the candidates that can possibly be
+  /** Prune a dictionary scan to the candidates that can possibly be
     * within `maxEdits` of `word` (no-op on legacy frames without the
     * filter columns — still correct, just unpruned). */
-  def fuzzyPruned(termStats: DataFrame, word: String, maxEdits: Int): DataFrame =
-    if (!termStats.columns.contains("tlen")) termStats
+  def fuzzyPruned(dict: DataFrame, word: String, maxEdits: Int,
+                  lenCol: String = "tlen", maskCol: String = "cmask"): DataFrame =
+    if (!dict.columns.contains(lenCol)) dict
     else {
       val wmask = cmaskOf(word)
-      termStats
-        .filter(col("tlen").between(word.length - maxEdits, word.length + maxEdits))
-        .filter(bit_count(lit(wmask).bitwiseAND(bitwise_not(col("cmask")))) <= maxEdits)
+      dict
+        .filter(col(lenCol).between(word.length - maxEdits, word.length + maxEdits))
+        .filter(bit_count(lit(wmask).bitwiseAND(bitwise_not(col(maskCol)))) <= maxEdits)
     }
 
   /** Banded levenshtein predicate (O(len·e) DP, early abandon). */

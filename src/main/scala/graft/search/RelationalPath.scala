@@ -372,6 +372,68 @@ final class RelationalPath(idx: graft.index.IndexView) {
     out
   }
 
+  /** `query($q)` as a VALUE SOURCE [U solr ValueSourceParser "query",
+    * lucene/queries/.../function/valuesource/QueryValueSource.java]:
+    * the subquery's BM25 score per docId, to be LEFT-joined into a
+    * result frame (Solr's defVal — docs not matching the subquery take
+    * `default`, usually 0, and are never dropped or nulled). Returns
+    * (docId, <as>). */
+  def queryScores(terms: Seq[String], as: String): DataFrame =
+    scoredTf(terms)
+      .groupBy("docId").agg(sum("score").as(as))
+
+  /** Attach a `query($q)` column: left join + coalesce(default) — the
+    * same hit-set-preserving combine as edismax bf/bq. */
+  def withQueryScore(df: DataFrame, terms: Seq[String], as: String,
+                     default: Double = 0.0): DataFrame =
+    df.join(queryScores(terms, as), Seq("docId"), "left")
+      .withColumn(as, coalesce(col(as), lit(default)))
+
+  /** `boost(q, f)` / function-query sort [U solr BoostQParserPlugin,
+    * FunctionQParserPlugin]: hit set = the anchor term's matches; the
+    * rank key is arbitrary ValueSources arithmetic over the anchor's
+    * BM25 score, a `query($q2)` column (default 0 — additive subquery
+    * score, hit set unchanged) and a stored field. The whole expression
+    * compiles to codegen'd Column arithmetic over ONE scored frame —
+    * the function query is never a second corpus pass. */
+  def boostFnTopK(anchor: String, subTerm: String, k: Int): DataFrame = {
+    import graft.functions.{ValueSources => V}
+    val base = scoredTf(Seq(anchor))
+      .select(col("docId"), col("doc_id"), col("score"))
+      .join(docsWithId.select(col("docId"), col("dl")), "docId")
+    val withQ = withQueryScore(base, Seq(subTerm), "qsub")
+    // s = (bm25(anchor) + 0.5·query($sub)) · recip(abs(dl − 100), 1, 1000, 1)
+    val s = V.fn("product",
+      V.fn("sum", col("score"), V.fn("product", lit(0.5), col("qsub"))),
+      V.fn("recip",
+        V.fn("abs", V.fn("sub", col("dl"), lit(100))), lit(1), lit(1000), lit(1)))
+    rankTopK(withQ.select(col("docId"), col("doc_id"), s.as("s")), k)
+  }
+
+  /** Relevance value-sources as columns over the live docs
+    * [U solr ValueSourceParser "termfreq","docfreq","idf","norm",
+    * "numdocs","maxdoc","sumtotaltermfreq"]: per-term stats are driver
+    * scalars (IndexFunctions), termfreq is a left-joined frame, norm is
+    * the stored quantized length (dlq). One docs scan, no corpus jobs. */
+  def relevanceFrame(term: String): DataFrame = {
+    val ifn = new graft.functions.IndexFunctions(idx)
+    val tf = tfTable(Seq(term)).toDF("term", "docId", "tf")
+      .select(col("docId"), col("tf"))
+    docsWithId.select(col("docId"), col("doc_id"), col("dlq"))
+      .join(tf, Seq("docId"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tf"), lit(0)).cast("long").as("f_termfreq"),
+        ifn.docfreq(term).cast("long").as("f_docfreq"),
+        ifn.totaltermfreq(term).cast("long").as("f_ttf"),
+        // floor(idf·1e6): double arithmetic is IEEE-identical on both
+        // engines, floor-quantized so the gate compares longs
+        floor(ifn.idf(term) * lit(1e6)).cast("long").as("f_idf_q"),
+        ifn.numdocs.cast("long").as("f_numdocs"),
+        ifn.sumtotaltermfreq.cast("long").as("f_sumttf"),
+        col("dlq").cast("long").as("f_norm"))
+      .orderBy("doc_id")
+  }
+
   /** Execute a parsed query string on the relational path (the Solr
     * QParser → index-operation compilation, SURVEY.md §3.C). Supports
     * the Boolean/term/attr subset; everything else (phrases, multi-term

@@ -33,12 +33,27 @@ object Suggest {
     * prefix scan of the whole dictionary. Build once per commit
     * generation, O(dict × maxGram) rows. */
   def buildNgramIndex(idx: IndexView, dir: String,
-                      minGram: Int = 1, maxGram: Int = 8): Unit = {
-    val grams = idx.termStats
-      .select(col("term"), col("df").cast("long").as("df"))
+                      minGram: Int = 1, maxGram: Int = 8): Unit =
+    buildSuggestIndex(
+      idx.termStats.select(col("term"), col("df").cast("long").as("weight")),
+      dir, minGram, maxGram)
+
+  /** General suggester build over caller-supplied (term, weight)
+    * entries — the reference's suggesters take an arbitrary weight
+    * expression, not just df [U lucene/suggest/.../Lookup.java#build
+    * (InputIterator.weight), solr DocumentDictionaryFactory weightField].
+    * Rows carry (glen, gmask) prefilter columns on the GRAM so fuzzy
+    * lookups prune with the same shape spellcheck uses on the term
+    * dictionary. */
+  def buildSuggestIndex(entries: DataFrame, dir: String,
+                        minGram: Int = 1, maxGram: Int = 8): Unit = {
+    val grams = entries
+      .select(col("term"), col("weight").cast("long").as("weight"))
       .withColumn("gram", explode(
         graft.analysis.Analysis.edgeNgramsCol(array(col("term")), minGram, maxGram)))
-    grams.select("gram", "term", "df")
+    graft.index.TermFilters
+      .withFilterCols(grams.select("gram", "term", "weight"),
+        src = "gram", lenCol = "glen", maskCol = "gmask")
       .repartitionByRange(8, col("gram"))
       .sortWithinPartitions("gram", "term")
       .write.mode("overwrite").parquet(dir)
@@ -79,8 +94,43 @@ object Suggest {
         if (prefix.length <= maxG) base
         else base.filter(col("term").startsWith(prefix))
       }
-    hits.select(col("term"), col("df"))
+    hits.select(col("term"), col("weight").as("df"))
       .orderBy(desc("df"), asc("term"))
+      .limit(k)
+  }
+
+  /** Weighted lookup from a `buildSuggestIndex` table — identical
+    * pushdown shape, ranked by the caller's weight. */
+  def suggestWeighted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      prefix: String, k: Int = 10): DataFrame =
+    suggestNgram(spark, dir, prefix, k)
+      .select(col("term"), col("df").as("weight"))
+
+  /** Fuzzy-prefix lookup — the FuzzySuggester analogue
+    * [U lucene/suggest/.../analyzing/FuzzySuggester.java]: suggestions
+    * whose indexed edge-gram is within `maxEdits` of the typed prefix
+    * (so `sparc` still completes to `spark...`), ranked by weight. The
+    * gram scan is pruned BEFORE the levenshtein by the pushdown-able
+    * `glen` length band and the `gmask` character-presence prefilter —
+    * the same automaton-over-FST analogue as spellcheck; prefilters are
+    * exact supersets, the banded levenshtein decides membership, so
+    * results are value-identical to an unpruned scan. A term can match
+    * through several gram lengths → max-weight per term (weights are
+    * constant per term; max is tie-safe). */
+  def suggestFuzzy(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   prefix: String, maxEdits: Int = 1, k: Int = 10): DataFrame = {
+    val m = graft.util.Json.obj(graft.util.Json.parse(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_gram_meta.json"))))
+    val maxG = graft.util.Json.long(m("maxGram")).toInt
+    require(prefix.length <= maxG,
+      s"fuzzy prefix longer than the build's maxGram=$maxG: '$prefix'")
+    val table = spark.read.parquet(dir)
+    graft.index.TermFilters
+      .fuzzyPruned(table, prefix, maxEdits, lenCol = "glen", maskCol = "gmask")
+      .filter(graft.index.TermFilters.withinEdits(col("gram"), prefix, maxEdits))
+      .groupBy("term").agg(max("weight").as("weight"))
+      .orderBy(desc("weight"), asc("term"))
       .limit(k)
   }
 

@@ -144,18 +144,50 @@ class IndexSpec extends SparkSpec {
       Path.of(dir, "docs", "_SUCCESS")).toMillis
     val postingsBefore = idx1.postings.collect().sortBy(r => (r.segId, r.term, r.salt))
 
-    // simulate a crash AFTER docs/termstats/postings but BEFORE commit:
-    // delete manifest + lineage success marker
+    // simulate a crash AFTER docs/postings but BEFORE commit: delete
+    // manifest + lineage AND stats markers — the stats rebuild must
+    // take the fallback agg (the docs stage is skipped on resume, so
+    // the per-partition Σdl accumulator never fills)
+    val statsBefore = idx1.stats
     Files.delete(Path.of(dir, "manifest.json"))
     Files.delete(Path.of(dir, "lineage", "_SUCCESS"))
+    Files.delete(Path.of(dir, "stats", "_SUCCESS"))
     val idx2 = IndexBuilder.build(spark, pages, dir,
       IndexConfig(numPartitions = 2, partsPerSegment = 1))
     // docs stage not rerun
     assert(Files.getLastModifiedTime(Path.of(dir, "docs", "_SUCCESS")).toMillis === docsStamp)
+    assert(idx2.stats === statsBefore) // fallback agg == accumulator path
     val postingsAfter = idx2.postings.collect().sortBy(r => (r.segId, r.term, r.salt))
     assert(postingsAfter.map(_.term).toSeq === postingsBefore.map(_.term).toSeq)
     assert(postingsAfter.flatMap(decodeAll).toSeq === postingsBefore.flatMap(decodeAll).toSeq)
     assert(CheckIndex.audit(idx2).isEmpty)
+  }
+
+  test("partition-stride hot sampling ≡ exact: queries, stats, audit") {
+    // rate 0.25 → every 4th input partition sampled; the hot SET may
+    // legitimately differ from the exact pass (that only changes salt
+    // layout), but stats, per-term postings content and ranked results
+    // must be identical
+    val texts = (0 until 160).map(i => s"the common spark w$i x${i % 5}")
+    val exact = IndexBuilder.build(spark, mkPages(texts), tmpDir("hotexact"),
+      IndexConfig(numPartitions = 8, partsPerSegment = 8,
+        hotTermDf = 10, numSalts = 4, hotSampleRate = 1.0))
+    val sampled = IndexBuilder.build(spark, mkPages(texts), tmpDir("hotsampled"),
+      IndexConfig(numPartitions = 8, partsPerSegment = 8,
+        hotTermDf = 10, numSalts = 4, hotSampleRate = 0.25))
+    assert(sampled.stats === exact.stats)
+    def flat(idx: InvertedIndex, term: String) =
+      idx.postings.collect().filter(_.term == term)
+        .sortBy(r => (r.segId, r.salt)).flatMap(decodeAll).toSeq
+    Seq("the", "common", "spark").foreach(t =>
+      assert(flat(sampled, t) === flat(exact, t), s"postings diverged on '$t'"))
+    assert(CheckIndex.audit(sampled).isEmpty)
+    val q = Query.and("the", "common")
+    val a = new Searcher(exact).topK(q, 10).collect()
+      .map(r => (r.getLong(1), r.getFloat(3))).toSeq
+    val b = new Searcher(sampled).topK(q, 10).collect()
+      .map(r => (r.getLong(1), r.getFloat(3))).toSeq
+    assert(a === b)
   }
 
   test("index-time sort: docIds follow the sort key; early top-k == full scan") {
