@@ -112,14 +112,24 @@ object ValueSources {
 
   /** `ord(field)` — the global ordinal of the field VALUE (Solr's
     * OrdFieldSource reads docvalues ordinals). Ordinals are a property
-    * of the value DICTIONARY, so rank the distinct values (dictionary-
-    * sized — the only global sort, bounded by cardinality, never the
-    * corpus) and broadcast-join them back; appends `<field>_ord`. */
+    * of the value DICTIONARY: collect the distinct values (bounded by
+    * cardinality, never the corpus), rank them ON THE DRIVER and
+    * broadcast-join the tiny (value → ordinal) table back — no Window
+    * operator anywhere (a no-partition Window would single-task even
+    * the dictionary and spam the log at serving time). Ordinals are
+    * 1-based over the present (non-null) values; a null field value
+    * gets a null ordinal (the docvalues-missing case). Appends
+    * `<field>_ord`. */
   def ord(df: org.apache.spark.sql.DataFrame, field: String): org.apache.spark.sql.DataFrame = {
-    val dict = df.select(col(field).as("__v")).distinct()
-      .withColumn(s"${field}_ord", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__v"))))
-    df.join(broadcast(dict), df(field) === dict("__v"), "left").drop("__v")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val values = df.select(col(field).cast("string").as("__v"))
+      .filter(col("__v").isNotNull).distinct()
+      .as[String].collect().sorted
+    val dict = values.zipWithIndex.map { case (v, i) => (v, i + 1) }.toSeq
+      .toDF("__v", s"${field}_ord")
+    df.join(broadcast(dict), df(field).cast("string") === dict("__v"), "left")
+      .drop("__v")
   }
 
   /** `scale(f, targetMin, targetMax)` given the field's global
@@ -149,9 +159,11 @@ object ValueSources {
     * `ord` (never a corpus-wide Window). Appends `<field>_rord`. */
   def rord(df: org.apache.spark.sql.DataFrame, field: String): org.apache.spark.sql.DataFrame = {
     val withOrd = ord(df, field)
-    // dictionary cardinality is the max ordinal — a scalar agg over the
-    // already-ranked column (no second distinct pass)
-    val card = withOrd.agg(max(col(s"${field}_ord"))).head().getInt(0)
+    // dictionary cardinality = the max ordinal; the agg is over the
+    // already-ranked broadcast column (null when the field is all-null
+    // — then every rord is null too, matching ord)
+    val mx = withOrd.agg(max(col(s"${field}_ord"))).head()
+    val card = if (mx.isNullAt(0)) 0 else mx.getInt(0)
     withOrd.withColumn(s"${field}_rord", lit(card + 1) - col(s"${field}_ord"))
   }
 }
