@@ -77,6 +77,21 @@ object Spans {
     small.filter { case (ss, se) =>
       big.exists { case (bs, be) => bs <= ss && se <= be } }
 
+  /** NOT_CONTAINING [U …/intervals/Intervals#notContaining]: the `big`
+    * intervals containing NO `small` interval — the set complement of
+    * `containing` over the same source, by definition. */
+  def notContaining(big: Array[(Int, Int)],
+                    small: Array[(Int, Int)]): Array[(Int, Int)] =
+    big.filter { case (bs, be) =>
+      !small.exists { case (ss, se) => bs <= ss && se <= be } }
+
+  /** NOT_WITHIN [U …/intervals/Intervals#notWithin]: the `small`
+    * intervals inside NO `big` interval. */
+  def notWithin(small: Array[(Int, Int)],
+                big: Array[(Int, Int)]): Array[(Int, Int)] =
+    small.filter { case (ss, se) =>
+      !big.exists { case (bs, be) => bs <= ss && se <= be } }
+
   /** freq of the near-window match; 0 = no match. Position arrays must
     * be ascending (they are: token indexes). */
   def spanFreq(posLists: IndexedSeq[Array[Int]], slop: Int,

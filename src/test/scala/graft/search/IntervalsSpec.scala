@@ -71,5 +71,12 @@ class IntervalsSpec extends AnyFunSuite {
     val small = Array((2, 2), (20, 20))
     assert(Spans.containing(iv, small).toSeq === Seq((0, 3)))
     assert(Spans.within(small, iv).toSeq === Seq((2, 2)))
+    // NOT variants are exact complements over the same source
+    assert(Spans.notContaining(iv, small).toSeq === Seq((10, 12)))
+    assert(Spans.notWithin(small, iv).toSeq === Seq((20, 20)))
+    assert((Spans.containing(iv, small) ++ Spans.notContaining(iv, small))
+      .sorted.toSeq === iv.sorted.toSeq)
+    assert((Spans.within(small, iv) ++ Spans.notWithin(small, iv))
+      .sorted.toSeq === small.sorted.toSeq)
   }
 }

@@ -154,6 +154,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy suggester: glen length band pushed below the levenshtein") {
+    val dir = s"/tmp/graft-plan-fsuggest-${System.nanoTime()}"
+    Suggest.buildNgramIndex(idx, dir, minGram = 1, maxGram = 6)
+    try {
+      val p = plan(Suggest.suggestFuzzy(spark, dir, "spar", 1, 10))
+      // the ±maxEdits gram-length band is a plain int range the scan
+      // can push (row-group min/max pruning); the levenshtein itself
+      // never reaches the scan
+      assert(p.contains("GreaterThanOrEqual(glen,3)") &&
+        p.contains("LessThanOrEqual(glen,5)"), p.take(3000))
+      assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+      assert(!p.contains("WindowExec"), p.take(3000))
+    } finally {
+      import java.nio.file.{Files, Paths}
+      Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
   test("LTR feature fetch: candidate ids PUSHED into the docs scan, broadcast, ZERO Window") {
     val model = Ltr.LinearModel(
       Seq("base" -> col("s"), "dl" -> col("dl").cast("double")),
