@@ -58,7 +58,36 @@ final case class IndexConfig(
       * [U lucene/core/.../index/DocumentsWriterFlushControl.java]) —
       * an oversized/skewed partition degrades to more runs instead of
       * OOMing; spills are doc-aligned so runs stay docId-disjoint. */
-    spimiSpillBytes: Long = 256L << 20)
+    spimiSpillBytes: Long = 256L << 20,
+    /** Arrival-order docIds — the reference's ACTUAL default: Lucene's
+      * IndexWriter assigns docIds in ingestion order per segment
+      * [U lucene/core/.../index/DocumentsWriterPerThread.java]; a
+      * url-sorted docId space is the opt-in index-time sort
+      * (setIndexSort), which costs indexing throughput there too. With
+      * `inputOrdered=true` the build takes docIds from the input scan's
+      * own partition order, so the corpus-wide text shuffle (the one
+      * full-width exchange of the sorted build) DISAPPEARS: the docs
+      * stage is a narrow map over the source scan. Segment docId ranges,
+      * salting, lineage, stats, resume and all query paths are
+      * unchanged; what is lost is url-ordered docIds (SortedRead early
+      * termination needs a sorted build). docIds stay deterministic
+      * across cluster sizes because split planning is pinned
+      * (`spark.sql.files.minPartitionNum=1` ⇒ split size =
+      * maxPartitionBytes regardless of core count) and each task
+      * fail-fast-asserts its row count against the counts pre-pass. */
+    inputOrdered: Boolean = false,
+    /** Arrival-order scan split size (spark.sql.files.maxPartitionBytes
+      * while the counts+docs jobs run). docId layout follows the split
+      * plan, so this is part of the index CONFIG, not a tuning knob the
+      * cluster may drift: pinned here (with openCost 1 MiB and
+      * minPartitionNum 1) the plan is a pure function of the input
+      * files. 8 MiB of compressed parquet ≈ 30-40 MiB of text — small
+      * enough for several waves of tasks per executor (wave balance is
+      * what the docs/SPIMI stages live on), large enough that per-task
+      * SPIMI maps amortize. Effective granularity is still bounded
+      * below by the input's parquet ROW-GROUP size: splits inside one
+      * row group read nothing. */
+    inputSplitBytes: Long = 8L << 20)
 
 /** Batch inverted-index build (SURVEY.md §3.A):
   *
@@ -105,62 +134,118 @@ object IndexBuilder {
     // docId order = sortKey order; default sortKey is the url itself
     // (an index-time sort key prepends a static-score string, url as
     // tie-break, so the whole docId machinery follows the sort)
+    require(!cfg.inputOrdered || cfg.sortKeySql.isEmpty,
+      "inputOrdered is the arrival-order build (the Lucene IndexWriter " +
+        "default); an index-time sort needs the sorted build")
     val sortKey: org.apache.spark.sql.Column = cfg.sortKeySql
       .map(s => concat(expr(s), lit("|"), col("url")))
       .getOrElse(col("url"))
-    val tBounds = System.nanoTime()
-    val bounds = keyRangeBounds(spark, pages, sortKey, cfg.numPartitions)
-    stageSec += "bounds" -> (System.nanoTime() - tBounds) / 1e9
-    if (sys.env.contains("GRAFT_PROFILE"))
-      println(f"[build] bounds (sampled key scan) ${(System.nanoTime() - tBounds) / 1e9}%.2f s")
-    val bcBounds = spark.sparkContext.broadcast(bounds)
-    val pidOf = udf { (key: String) =>
-      val b = bcBounds.value
-      val i = java.util.Arrays.binarySearch(b.asInstanceOf[Array[AnyRef]], key)
-      if (i >= 0) i + 1 else -i - 1
-    }
-    val parted: Dataset[(String, String, String, java.sql.Timestamp)] = {
-      val base = pages.select(col("url"), col("lang"), col("text"), col("warc_ts"))
-      // partition-index preimages: route pid p to hash-partition p
-      val pre = hashPreimages(spark, cfg.numPartitions)
-      // default sort (no sortKeySql): the key IS the url — sort on the
-      // url column directly instead of materializing a __gkey copy,
-      // which would ship every url through the full-width shuffle TWICE
-      // (urls are ~10% of the payload beside the stored text)
-      val (keyed, keyCol) = cfg.sortKeySql match {
-        case None => (base, col("url"))
-        case Some(_) => (base.withColumn("__gkey", sortKey), col("__gkey"))
-      }
-      keyed
-        .withColumn("__gbucket", element_at(typedLit(pre.toSeq), pidOf(keyCol) + 1))
-        .repartition(cfg.numPartitions, col("__gbucket"))
-        .sortWithinPartitions(keyCol)
-        .drop("__gbucket", "__gkey")
-        .as[(String, String, String, java.sql.Timestamp)]
-    }
+    // pin the scan's split planning so the partition layout (and with it
+    // every docId) is a pure function of the input files and this config
+    // — identical at every cluster size. Unpinned, bytesPerCore =
+    // totalBytes/defaultParallelism makes the split plan (hence docIds)
+    // a function of the core count.
+    val splitConfKeys = Seq(
+      "spark.sql.files.minPartitionNum" -> "1",
+      "spark.sql.files.maxPartitionBytes" -> cfg.inputSplitBytes.toString,
+      "spark.sql.files.openCostInBytes" -> (1L << 20).toString)
+    val splitConfPrev: Seq[(String, Option[String])] =
+      if (cfg.inputOrdered) splitConfKeys.map { case (k, v) =>
+        val prev = spark.conf.getOption(k)
+        spark.conf.set(k, v)
+        k -> prev
+      } else Nil
 
-    // docId = row_number over sort-key order, computed scalably: exact
-    // per-partition counts from a COLUMN-PRUNED key-only scan of the
-    // source (deterministic routing ⇒ the count of keys routed to p is
-    // the count of rows in p), then prefix-sum offsets on the driver
-    // (O(partitions) state — never O(rows); a Window would serialize
-    // the build). The full-width corpus is never cached: the ONE
-    // shuffle lands in the docs stage, whose parquet output (WITH the
-    // stored text column) doubles as the staged sorted corpus the
-    // postings stage scans back column-pruned + compressed — no cache
-    // tier, no second shuffle.
-    val tCounts = System.nanoTime()
-    val counts: Array[Long] = {
-      val arr = new Array[Long](cfg.numPartitions)
-      pages.select(sortKey.as("k"))
-        .groupBy(pidOf(col("k")).as("pid")).count()
-        .collect()
-        .foreach(r => arr(r.getInt(0)) = r.getLong(1))
-      arr
-    }
-    stageSec += "counts" -> (System.nanoTime() - tCounts) / 1e9
-    if (sys.env.contains("GRAFT_PROFILE"))
-      println(f"[build] counts (key-only scan) ${(System.nanoTime() - tCounts) / 1e9}%.2f s")
+    val (parted, counts): (Dataset[(String, String, String, java.sql.Timestamp)], Array[Long]) =
+      if (cfg.inputOrdered) {
+        // ---- arrival-order build: NO full-width shuffle ----------------
+        // docId = inputOffsets(scanPid) + rowIndexInPartition. The docs
+        // stage is a narrow map over the source scan; the counts pre-pass
+        // is an empty-projection scan (row-group metadata iteration, no
+        // column decode). Segment = partsPerSegment consecutive scan
+        // partitions, exactly as the sorted build groups sort partitions.
+        val base = pages.select(col("url"), col("lang"), col("text"), col("warc_ts"))
+          .as[(String, String, String, java.sql.Timestamp)]
+        val tCounts = System.nanoTime()
+        val cArr: Array[Long] = {
+          val rows = pages.select(lit(1).as("one"))
+            .mapPartitions { it =>
+              var n = 0L
+              while (it.hasNext) { it.next(); n += 1 }
+              Iterator.single((TaskContext.getPartitionId(), n))
+            }(org.apache.spark.sql.Encoders.product[(Int, Long)])
+            .collect()
+          if (rows.isEmpty) Array.empty[Long]
+          else {
+            val arr = new Array[Long](rows.iterator.map(_._1).max + 1)
+            rows.foreach { case (p, n) => arr(p) = n }
+            arr
+          }
+        }
+        stageSec += "counts" -> (System.nanoTime() - tCounts) / 1e9
+        if (sys.env.contains("GRAFT_PROFILE"))
+          println(f"[build] counts (empty-projection scan, ${cArr.length} input parts) ${(System.nanoTime() - tCounts) / 1e9}%.2f s")
+        (base, cArr)
+      } else {
+        // ---- sorted build (index-time sort; default key = url) ---------
+        val tBounds = System.nanoTime()
+        val bounds = keyRangeBounds(spark, pages, sortKey, cfg.numPartitions)
+        stageSec += "bounds" -> (System.nanoTime() - tBounds) / 1e9
+        if (sys.env.contains("GRAFT_PROFILE"))
+          println(f"[build] bounds (sampled key scan) ${(System.nanoTime() - tBounds) / 1e9}%.2f s")
+        val bcBounds = spark.sparkContext.broadcast(bounds)
+        val pidOf = udf { (key: String) =>
+          val b = bcBounds.value
+          val i = java.util.Arrays.binarySearch(b.asInstanceOf[Array[AnyRef]], key)
+          if (i >= 0) i + 1 else -i - 1
+        }
+        val partedDs: Dataset[(String, String, String, java.sql.Timestamp)] = {
+          val base = pages.select(col("url"), col("lang"), col("text"), col("warc_ts"))
+          // partition-index preimages: route pid p to hash-partition p
+          val pre = hashPreimages(spark, cfg.numPartitions)
+          // default sort (no sortKeySql): the key IS the url — sort on the
+          // url column directly instead of materializing a __gkey copy,
+          // which would ship every url through the full-width shuffle TWICE
+          // (urls are ~10% of the payload beside the stored text)
+          val (keyed, keyCol) = cfg.sortKeySql match {
+            case None => (base, col("url"))
+            case Some(_) => (base.withColumn("__gkey", sortKey), col("__gkey"))
+          }
+          keyed
+            .withColumn("__gbucket", element_at(typedLit(pre.toSeq), pidOf(keyCol) + 1))
+            .repartition(cfg.numPartitions, col("__gbucket"))
+            .sortWithinPartitions(keyCol)
+            .drop("__gbucket", "__gkey")
+            .as[(String, String, String, java.sql.Timestamp)]
+        }
+
+        // docId = row_number over sort-key order, computed scalably: exact
+        // per-partition counts from a COLUMN-PRUNED key-only scan of the
+        // source (deterministic routing ⇒ the count of keys routed to p is
+        // the count of rows in p), then prefix-sum offsets on the driver
+        // (O(partitions) state — never O(rows); a Window would serialize
+        // the build). The full-width corpus is never cached: the ONE
+        // shuffle lands in the docs stage, whose parquet output (WITH the
+        // stored text column) doubles as the staged sorted corpus the
+        // postings stage scans back column-pruned + compressed — no cache
+        // tier, no second shuffle.
+        val tCounts = System.nanoTime()
+        val cArr: Array[Long] = {
+          val arr = new Array[Long](cfg.numPartitions)
+          pages.select(sortKey.as("k"))
+            .groupBy(pidOf(col("k")).as("pid")).count()
+            .collect()
+            .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+          arr
+        }
+        stageSec += "counts" -> (System.nanoTime() - tCounts) / 1e9
+        if (sys.env.contains("GRAFT_PROFILE"))
+          println(f"[build] counts (key-only scan) ${(System.nanoTime() - tCounts) / 1e9}%.2f s")
+        (partedDs, cArr)
+      }
+    // effective partition count: the scan's own layout in arrival-order
+    // mode, cfg.numPartitions in the sorted build
+    val nParts = counts.length
 
     // ---- hot-term detection, launched CONCURRENTLY ---------------------
     // It reads the SOURCE (column-pruned url+text, deterministic
@@ -176,27 +261,45 @@ object IndexBuilder {
     val hotFut: scala.concurrent.Future[(Set[String], Double)] =
       scala.concurrent.Future {
         val t0 = System.nanoTime()
-        // partition-STRIDE sampling, not row sampling: a url-hash row
-        // filter cannot be pushed below the parquet scan, so a 5% row
-        // sample still DECODES the whole text column — a full-corpus
-        // bandwidth pass contending with the docs stage it overlaps.
-        // Taking every ⌈1/rate⌉-th input partition instead lets the
-        // skipped tasks return without pulling a single row from their
-        // reader (column decode is pull-driven), so the job reads only
-        // ~rate of the corpus bytes. Hot terms are corpus-wide by
-        // definition (df ≥ hotTermDf), so a partition-clustered sample
-        // finds them just as reliably, and correctness is invariant to
-        // the decision either way (salted ≡ unsalted, property-tested).
+        // two-level stride sampling. Partition stride (every ⌈1/rate⌉-th
+        // scan partition) is the IO-optimal form: a url-hash row filter
+        // cannot be pushed below the parquet scan, so a 5% row sample
+        // still DECODES the whole text column, while skipped partitions
+        // never pull a row (column decode is pull-driven). But it is
+        // only BALANCED when partitions are plentiful — on a scan with
+        // a handful of fat partitions the whole sample lands on ONE
+        // task (observed: a single task tokenizing 1/8 of the corpus
+        // for minutes while the build waited). So: partition stride
+        // when the scan has ≥ 4·stride partitions (≥ 4 sampled tasks),
+        // otherwise sample EVERY partition with a row stride inside —
+        // full decode cost, but the tokenization (the expensive part)
+        // is 1/stride on every task in parallel. Hot terms are
+        // corpus-wide by definition (df ≥ hotTermDf), so either
+        // clustering finds them, and correctness is invariant to the
+        // decision (salted ≡ unsalted, property-tested).
         val stride = math.max(1L, math.round(1.0 / cfg.hotSampleRate))
         val src = pages.toDF().select(col("url"), col("text"))
           .as[(String, String)]
+        val nScanParts = math.max(1, src.rdd.getNumPartitions)
+        val outer = if (nScanParts >= 4 * stride) stride else 1L
+        val inner = math.max(1L, (stride + outer - 1) / outer)
         val sampled =
           if (stride <= 1) src.toDF("url", "text")
           else src.mapPartitions { it =>
-            if (TaskContext.getPartitionId() % stride == 0) it
-            else Iterator.empty
+            val tc = TaskContext.get()
+            // scale = outer·inner was derived from the probed partition
+            // count; if the collect job planned a different layout the
+            // df estimate would be silently skewed — fail fast instead
+            require(tc.numPartitions() == nScanParts,
+              s"hot-sample scan replanned: ${tc.numPartitions()} partitions " +
+                s"at run time vs $nScanParts at probe time")
+            if (tc.partitionId() % outer != 0) Iterator.empty
+            else {
+              var i = -1L
+              it.filter { _ => i += 1; i % inner == 0 }
+            }
           }.toDF("url", "text")
-        val scale = stride.toDouble
+        val scale = (outer * inner).toDouble
         val hot = sampled
           .select(explode(array_distinct(
             Analysis.analyzeCol(col("text"), cfg.stopWords, cfg.stem, cfg.synonyms))).as("term"))
@@ -228,10 +331,12 @@ object IndexBuilder {
     // exactly-once is by construction, not by accumulator semantics.
     val dlAcc = spark.sparkContext
       .collectionAccumulator[(Int, Long)]("dlSumsPerPartition")
+    val inputOrdered = cfg.inputOrdered
     runStage(docsPath, stageSec) {
       parted.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val off = bcOffsets.value(pid)
+        val expected = bcOffsets.value(pid + 1) - off
         val segId = segBase + pid / partsPerSeg
         var i = -1L
         var dlSum = 0L
@@ -253,7 +358,17 @@ object IndexBuilder {
         new Iterator[StagedDoc] {
           def hasNext: Boolean = {
             val h = out.hasNext
-            if (!h && !reported) { dlAcc.add((pid, dlSum)); reported = true }
+            if (!h && !reported) {
+              // arrival-order contract: this task's row count must equal
+              // the counts pre-pass for the SAME scan partition — if
+              // split planning drifted between the two jobs, docIds
+              // would be silently scrambled, so fail the build instead
+              if (inputOrdered) require(i + 1 == expected,
+                s"input-order split drift: partition $pid holds ${i + 1} " +
+                  s"rows but the counts pre-pass saw $expected — the two " +
+                  "scans planned different splits")
+              dlAcc.add((pid, dlSum)); reported = true
+            }
             h
           }
           def next(): StagedDoc = out.next()
@@ -274,7 +389,7 @@ object IndexBuilder {
         dlAcc.value.asScala.toMap
       }
       val sumTtf =
-        if (sums.size == cfg.numPartitions) sums.values.sum
+        if (sums.size == nParts) sums.values.sum
         else docsDf.agg(coalesce(sum(col("dl")), lit(0L)).cast("long"))
           .head().getLong(0)
       val row = CollStats(docCount, sumTtf,
@@ -330,6 +445,16 @@ object IndexBuilder {
         .write.mode("overwrite").parquet(postingsPath)
     }
 
+    // arrival-order mode keeps the split confs pinned through the
+    // postings stage: the docs parquet it reads back was written by
+    // this build (one file per input split), and unpinned planning
+    // would hand the LOW-width run fewer, fatter SPIMI tasks
+    // (bytesPerCore grows as cores shrink) — wave quantization that
+    // skews any cross-width comparison
+    splitConfPrev.foreach { case (k, prev) =>
+      prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+
     // ---- exact per-term stats from merged row metadata ----------------
     // (columnar scan of term/df/ttf only — blocks never read)
     val postingsDf = spark.read.parquet(postingsPath)
@@ -357,10 +482,10 @@ object IndexBuilder {
       // space, so the per-segment ranges are driver-known (no
       // corpus-width groupBy job; empty segments omitted, matching the
       // data-derived table)
-      val nSegs = (cfg.numPartitions + partsPerSeg - 1) / partsPerSeg
+      val nSegs = (nParts + partsPerSeg - 1) / partsPerSeg
       val rows = (0 until nSegs).flatMap { s =>
         val ps = (s * partsPerSeg) until
-          math.min((s + 1) * partsPerSeg, cfg.numPartitions)
+          math.min((s + 1) * partsPerSeg, nParts)
         val n = ps.map(counts(_)).sum
         if (n == 0) None
         else Some(SegmentInfo(segBase + s, n, offsets(ps.head),
@@ -786,7 +911,7 @@ object IndexBuilder {
        |  "avgdl": ${stats.avgdl},
        |  "hotTermsSalted": $hotTerms,
        |  "metrics": $metricsJson,
-       |  "config": {"numPartitions": ${cfg.numPartitions}, "partsPerSegment": ${cfg.partsPerSegment}, "blockSize": ${cfg.blockSize}, "hotTermDf": ${cfg.hotTermDf}, "numSalts": ${cfg.numSalts}, "hotSampleRate": ${cfg.hotSampleRate}},
+       |  "config": {"numPartitions": ${cfg.numPartitions}, "partsPerSegment": ${cfg.partsPerSegment}, "blockSize": ${cfg.blockSize}, "hotTermDf": ${cfg.hotTermDf}, "numSalts": ${cfg.numSalts}, "hotSampleRate": ${cfg.hotSampleRate}, "inputOrdered": ${cfg.inputOrdered}},
        |  "segments": $segJson
        |}""".stripMargin
   }

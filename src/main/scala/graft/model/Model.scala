@@ -109,13 +109,19 @@ object Corpus {
 
   /** Deterministic ×R corpus scale-up for benchmarking (FIXTURES.md §1):
     * repeat every document with doc_id' = doc_id + rep·10^7, re-deriving
-    * url/ts/html — no RNG, stable across runs and cluster sizes. */
-  def pagesRepeated(spark: SparkSession, sfDir: String, repeat: Int): Dataset[Page] = {
+    * url/ts/html — no RNG, stable across runs and cluster sizes.
+    * `files` pins the output partition count (0 = defaultParallelism):
+    * a staged corpus table's FILE layout is part of the benchmark input
+    * (the arrival-order build's parallelism follows it), so it must not
+    * depend on which session staged the table. */
+  def pagesRepeated(spark: SparkSession, sfDir: String, repeat: Int,
+                    files: Int = 0): Dataset[Page] = {
     if (repeat <= 1) return pages(spark, sfDir)
     // spread the small base table across tasks BEFORE the ×R explode so
     // corpus generation is parallel (the raw file is one row-group)
+    val n = if (files > 0) files else spark.sparkContext.defaultParallelism
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(n)
       .withColumn("rep", explode(sequence(lit(0), lit(repeat - 1))))
       .withColumn("doc_id", col("doc_id") + col("rep").cast("long") * lit(10000000L))
     fromDocuments(spark, base)
