@@ -79,7 +79,8 @@ object Bench {
   /** Partitioning for the build: IDENTICAL at every cluster size (the
     * north-rule contract — only the executor count varies); more waves
     * per executor at larger R for stragglers-resistant balance. */
-  private def buildConfig(repeat: Int): IndexConfig = {
+  private def buildConfig(repeat: Int,
+                          orderedOverride: Option[Boolean] = None): IndexConfig = {
     val parts = if (repeat >= 512) 256 else 64
     // SPARK_GRAFT_INPUT_ORDERED=1: the arrival-order build (Lucene's
     // IndexWriter default — docIds in ingestion order, no index-time
@@ -87,7 +88,8 @@ object Bench {
     // narrow map over the source scan. The public Lucene throughput
     // numbers BENCH.md compares against are measured in exactly this
     // mode; the url-sorted build is the setIndexSort opt-in.
-    val inputOrdered = sys.env.getOrElse("SPARK_GRAFT_INPUT_ORDERED", "0") == "1"
+    val inputOrdered = orderedOverride.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_INPUT_ORDERED", "0") == "1")
     IndexConfig(numPartitions = parts,
       partsPerSegment = if (inputOrdered) 4 else parts / 8,
       hotTermDf = 2000, numSalts = 4,
@@ -105,27 +107,32 @@ object Bench {
     * sampling pass + real pass) inside the timed region. */
   private def stageCorpus(spark: SparkSession, sfDir: String, repeat: Int,
                           benchRoot: String): String = {
-    val corpusDir = s"$benchRoot/corpus$repeat"
-    // file count pinned (not session-width-dependent): the staged table
-    // is the benchmark INPUT and both scaling children must see the
-    // same files; 256 files at big R also gives the arrival-order scan
-    // enough splits for several task waves per width
+    val files = if (repeat >= 512) 256 else 64
+    // file count pinned (not session-width-dependent) AND part of the
+    // directory key: the staged table is the benchmark INPUT and both
+    // scaling children must see the same files — keying by count means
+    // a dir staged by an older session (file count = that session's
+    // defaultParallelism) can never be silently reused with a
+    // different layout. 256 files at big R also gives the
+    // arrival-order scan enough splits for several task waves per width
+    val corpusDir = s"$benchRoot/corpus$repeat-f$files"
     if (!Files.exists(Paths.get(corpusDir, "_SUCCESS")))
-      Corpus.pagesRepeated(spark, sfDir, repeat,
-        files = if (repeat >= 512) 256 else 64).write
+      Corpus.pagesRepeated(spark, sfDir, repeat, files = files).write
         .mode("overwrite").parquet(corpusDir)
     corpusDir
   }
 
   private def timedBuild(spark: SparkSession, sfDir: String, repeat: Int,
-                         dir: String): (Double, Long) = {
+                         dir: String,
+                         orderedOverride: Option[Boolean] = None): (Double, Long) = {
     rmrf(dir)
     import spark.implicits._
     val corpusDir = stageCorpus(spark, sfDir, repeat,
       new java.io.File(dir).getParent)
     val pages = spark.read.parquet(corpusDir).as[graft.model.Page]
     val t0 = System.nanoTime()
-    val idx = IndexBuilder.build(spark, pages, dir, buildConfig(repeat))
+    val idx = IndexBuilder.build(spark, pages, dir,
+      buildConfig(repeat, orderedOverride))
     ((System.nanoTime() - t0) / 1e9, idx.stats.docCount)
   }
 
@@ -321,96 +328,181 @@ object Bench {
       return
     }
 
+    // ---- driver-shape bench: calprobe-gated (the round-4 ask) ----------
+    // The host has minutes-long external-steal episodes that have twice
+    // polluted the committed round record. Defense in depth: (a) honor
+    // the scaling hunt's in-flight-pair lock and announce ourselves via
+    // a bench lock the hunt honors symmetrically; (b) probe the hardware
+    // BEFORE the timed section and wait out dirty windows; (c) re-probe
+    // AFTER the timed section and rerun the whole measurement if the
+    // window went dirty mid-run — the record keeps the cleanest attempt
+    // and carries both calibrations so contamination is self-evident.
+    val minCpuR = sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_RATIO", "0.90").toDouble
+    val minMemR = sys.env.getOrElse("SPARK_GRAFT_MIN_MEM_RATIO", "0.50").toDouble
+    // clean windows measure memCalibration(32) ≈ 6600 passes/s on this
+    // host; documented steal episodes depress it to ~4100–4400
+    val minMem32 = sys.env.getOrElse("SPARK_GRAFT_MIN_MEM32", "5200").toDouble
+    val calRetries = sys.env.getOrElse("SPARK_GRAFT_CAL_RETRIES", "10").toInt
+    val calSleepMs = sys.env.getOrElse("SPARK_GRAFT_CAL_SLEEP_SEC", "60").toLong * 1000
+    val benchLock = Paths.get("/tmp/graft_bench.lock")
+    val huntPairLock = Paths.get("/tmp/graft_hunt_pair.lock")
+
+    def probe(): (Boolean, Double, Double, Double) = {
+      val c8 = cpuCalibration(8); val c32 = cpuCalibration(32)
+      val m8 = memCalibration(8); val m32 = memCalibration(32)
+      val cpuR = c32 / c8 / 4; val memR = m32 / m8 / 4
+      (cpuR >= minCpuR && memR >= minMemR && m32 >= minMem32, cpuR, memR, m32)
+    }
+    // wait out any scaling pair already in flight (lock older than 20
+    // minutes = stale, ignore it)
+    var pairWait = 0
+    while (Files.exists(huntPairLock) && pairWait < 40 &&
+      (System.currentTimeMillis() -
+        Files.getLastModifiedTime(huntPairLock).toMillis) < 20 * 60 * 1000) {
+      System.err.println("[bench] scaling pair in flight — waiting 30 s")
+      Thread.sleep(30000); pairWait += 1
+    }
+    try Files.write(benchLock,
+      java.lang.ProcessHandle.current().pid().toString.getBytes)
+    catch { case _: Exception => () }
+
+    var (calOk, calCpuR, calMemR, calMem32) = probe()
+    var calTries = 0
+    while (!calOk && calTries < calRetries) {
+      System.err.println(f"[bench] dirty window (cpuR=$calCpuR%.3f memR=" +
+        f"$calMemR%.3f mem32=$calMem32%.0f) — retry ${calTries + 1}/$calRetries")
+      Thread.sleep(calSleepMs)
+      val p = probe(); calOk = p._1; calCpuR = p._2; calMemR = p._3; calMem32 = p._4
+      calTries += 1
+    }
+
     val spark = newSession(cpus)
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    val (buildSec, docCount) = timedBuild(spark, sfDir, repeat, s"$benchRoot/main$cpus")
-    results += "build" -> buildSec
-    // warm index (BASELINE.md: latency measured on a warm index — the
-    // reference's warm-searcher serving mode)
-    val idx = graft.index.InvertedIndex.open(spark, s"$benchRoot/main$cpus").warm()
-    val searcher = new Searcher(idx)
+    final case class Attempt(results: scala.collection.mutable.LinkedHashMap[String, Double],
+                             buildSec: Double, docCount: Long,
+                             perQuery: Seq[Double], extTimes: Seq[Double],
+                             hw: Double, hwMem: Double)
 
-    def median3(f: => Unit): Double = {
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        f
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      times(times.length / 2)
+    def measureOnce(): Attempt = {
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val (buildSec, docCount) = timedBuild(spark, sfDir, repeat, s"$benchRoot/main$cpus")
+      results += "build" -> buildSec
+      // the arrival-order build (Lucene's IndexWriter default) timed as
+      // its own record field — zero full-width shuffles; the primary
+      // `build` number stays in the env-selected mode for
+      // round-over-round comparability
+      if (sys.env.getOrElse("SPARK_GRAFT_INPUT_ORDERED", "0") != "1") {
+        val (tOrd, _) = timedBuild(spark, sfDir, repeat,
+          s"$benchRoot/ordered$cpus", orderedOverride = Some(true))
+        results += "build_ordered" -> tOrd
+      }
+      // warm index (BASELINE.md: latency measured on a warm index — the
+      // reference's warm-searcher serving mode)
+      val idx = graft.index.InvertedIndex.open(spark, s"$benchRoot/main$cpus").warm()
+      val searcher = new Searcher(idx)
+
+      def median3(f: => Unit): Double = {
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          f
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        times(times.length / 2)
+      }
+
+      // warm once (parquet footers, code paths), then measure
+      querySet.foreach { case (_, q) => searcher.topK(q, 10).collect() }
+      val perQuery = querySet.map { case (name, q) =>
+        val m = median3(searcher.topK(q, 10).collect())
+        results += name -> m
+        m
+      }
+
+      // index-sort early termination (the index sort is the url order):
+      // rank-by-docId top-10 via per-segment docId windows vs a full scan
+      graft.search.SortedRead.earlyTopK(idx, 10).collect() // warm
+      graft.search.SortedRead.fullScanTopK(idx, 10).collect()
+      results += "q11_sorted_early" ->
+        median3(graft.search.SortedRead.earlyTopK(idx, 10).collect())
+      results += "q12_sorted_fullscan" ->
+        median3(graft.search.SortedRead.fullScanTopK(idx, 10).collect())
+
+      // ---- extended operator families (round-4 serving surface): timed
+      // separately so the original 10-query p50/p99 stays comparable
+      // round-over-round, while regressions in the newer paths are still
+      // caught by the driver record ----
+      val rel = new graft.search.RelationalPath(idx)
+      val extSet: Seq[(String, () => Unit)] = Seq(
+        "x01_edismax_mm_pf2" -> { () =>
+          val p = graft.search.EDisMax.parse("sort merge window", "2<67%")
+          graft.search.EDisMax.topK(Seq((idx: graft.index.IndexView) -> 1.0),
+            p, 10, pf2 = Seq((idx: graft.index.IndexView) -> 0.4)).collect()
+        },
+        "x02_spannear" -> { () =>
+          searcher.topK(graft.search.SpanNearQ(Seq("spark", "merge"), 3,
+            inOrder = true), 10).collect()
+        },
+        "x03_frange" -> { () =>
+          rel.frangeTopK(graft.functions.ValueSources.fn("mod",
+            org.apache.spark.sql.functions.col("dl"),
+            org.apache.spark.sql.functions.lit(7)), 2, 4, 10).collect()
+        },
+        "x04_geofilt" -> { () =>
+          rel.geoTopK("cast(doc_id % 120 as double) - 59.5",
+            "cast((doc_id * 7) % 360 as double) - 179.5",
+            10.0, 20.0, 2000.0, 10).collect()
+        },
+        "x05_intervals" -> { () =>
+          rel.intervalContainingDocs(Seq("spark", "merge"), 10, "join").collect()
+        },
+        "x06_suggest" -> { () =>
+          graft.search.Suggest.spellcheck(idx, "spark", 1, 10).collect()
+        })
+      extSet.foreach { case (_, f) => f() } // warm
+      val extTimes = extSet.map { case (name, f) =>
+        val m = median3(f())
+        results += name -> m
+        m
+      }
+      // self-carried steal evidence: hardware calibration in the SAME
+      // process right after the timed section — a contaminated window
+      // shows up as depressed units/sec vs the recorded clean baselines
+      val hw = cpuCalibration(cpus)
+      val hwMem = memCalibration(cpus)
+      Attempt(results, buildSec, docCount, perQuery, extTimes, hw, hwMem)
     }
 
-    // warm once (parquet footers, code paths), then measure
-    querySet.foreach { case (_, q) => searcher.topK(q, 10).collect() }
-    val perQuery = querySet.map { case (name, q) =>
-      val m = median3(searcher.topK(q, 10).collect())
-      results += name -> m
-      m
+    // rerun the WHOLE measured section when the post-run calibration says
+    // the window went dirty mid-measurement; keep the cleanest attempt
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "2").toInt
+    var best: Attempt = null
+    var reruns = 0
+    try {
+      best = measureOnce()
+      while (best.hwMem < minMem32 && reruns < maxReruns) {
+        System.err.println(f"[bench] post-run calibration dirty " +
+          f"(hwMemPerSec=${best.hwMem}%.0f < $minMem32%.0f) — rerunning " +
+          f"(${reruns + 1}/$maxReruns)")
+        Thread.sleep(calSleepMs)
+        val next = measureOnce()
+        if (next.hwMem > best.hwMem) best = next
+        reruns += 1
+      }
+    } finally {
+      try Files.deleteIfExists(benchLock) catch { case _: Exception => () }
     }
 
-    // index-sort early termination (the index sort is the url order):
-    // rank-by-docId top-10 via per-segment docId windows vs a full scan
-    graft.search.SortedRead.earlyTopK(idx, 10).collect() // warm
-    graft.search.SortedRead.fullScanTopK(idx, 10).collect()
-    results += "q11_sorted_early" ->
-      median3(graft.search.SortedRead.earlyTopK(idx, 10).collect())
-    results += "q12_sorted_fullscan" ->
-      median3(graft.search.SortedRead.fullScanTopK(idx, 10).collect())
-
-    // ---- extended operator families (round-4 serving surface): timed
-    // separately so the original 10-query p50/p99 stays comparable
-    // round-over-round, while regressions in the newer paths are still
-    // caught by the driver record ----
-    val rel = new graft.search.RelationalPath(idx)
-    val extSet: Seq[(String, () => Unit)] = Seq(
-      "x01_edismax_mm_pf2" -> { () =>
-        val p = graft.search.EDisMax.parse("sort merge window", "2<67%")
-        graft.search.EDisMax.topK(Seq((idx: graft.index.IndexView) -> 1.0),
-          p, 10, pf2 = Seq((idx: graft.index.IndexView) -> 0.4)).collect()
-      },
-      "x02_spannear" -> { () =>
-        searcher.topK(graft.search.SpanNearQ(Seq("spark", "merge"), 3,
-          inOrder = true), 10).collect()
-      },
-      "x03_frange" -> { () =>
-        rel.frangeTopK(graft.functions.ValueSources.fn("mod",
-          org.apache.spark.sql.functions.col("dl"),
-          org.apache.spark.sql.functions.lit(7)), 2, 4, 10).collect()
-      },
-      "x04_geofilt" -> { () =>
-        rel.geoTopK("cast(doc_id % 120 as double) - 59.5",
-          "cast((doc_id * 7) % 360 as double) - 179.5",
-          10.0, 20.0, 2000.0, 10).collect()
-      },
-      "x05_intervals" -> { () =>
-        rel.intervalContainingDocs(Seq("spark", "merge"), 10, "join").collect()
-      },
-      "x06_suggest" -> { () =>
-        graft.search.Suggest.spellcheck(idx, "spark", 1, 10).collect()
-      })
-    extSet.foreach { case (_, f) => f() } // warm
-    val extTimes = extSet.map { case (name, f) =>
-      val m = median3(f())
-      results += name -> m
-      m
-    }
-
-    val sortedQ = perQuery.sorted
+    val results = best.results
+    val sortedQ = best.perQuery.sorted
     val p50 = sortedQ(sortedQ.length / 2)
     val p99 = sortedQ.last
-    val sortedX = extTimes.sorted
+    val sortedX = best.extTimes.sorted
     val extP50 = sortedX(sortedX.length / 2)
     val extP99 = sortedX.last
     val total = results.values.sum
 
-    // self-carried steal evidence: hardware calibration in the SAME
-    // process right after the timed section — a contaminated window
-    // shows up as depressed units/sec vs the recorded clean baselines
-    val hw = cpuCalibration(cpus)
-    val hwMem = memCalibration(cpus)
-
     val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$docCount,"buildDocsPerSec":${docCount / buildSec}%.1f,"queryP50":$p50%.4f,"queryP99":$p99%.4f,"extP50":$extP50%.4f,"extP99":$extP99%.4f,"hwUnitsPerSec":$hw%.1f,"hwMemPerSec":$hwMem%.1f,"cpus":$cpus,"repeat":$repeat}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":${best.docCount},"buildDocsPerSec":${best.docCount / best.buildSec}%.1f,"queryP50":$p50%.4f,"queryP99":$p99%.4f,"extP50":$extP50%.4f,"extP99":$extP99%.4f,"hwUnitsPerSec":${best.hw}%.1f,"hwMemPerSec":${best.hwMem}%.1f,"calPreCpuRatio":$calCpuR%.4f,"calPreMemRatio":$calMemR%.4f,"calPreMem32":$calMem32%.1f,"calPreClean":$calOk,"calPreRetries":$calTries,"benchReruns":$reruns,"cpus":$cpus,"repeat":$repeat}""")
     spark.stop()
   }
 }

@@ -155,6 +155,38 @@ object IndexBuilder {
         spark.conf.set(k, v)
         k -> prev
       } else Nil
+    // idempotent (re-setting the same prev values is a no-op), so the
+    // early restore after the postings stage and the finally below can
+    // both run; the finally guarantees a FAILED build (split-drift /
+    // hot-sample replan require()s included) never leaks pinned split
+    // planning into the shared session
+    def restoreSplitConf(): Unit = splitConfPrev.foreach { case (k, prev) =>
+      prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+    try {
+
+    if (cfg.inputOrdered) {
+      // arrival-order docIds are deterministic only when the row order
+      // within each scan partition is itself deterministic — true for a
+      // stored-table scan plus narrow deterministic Project/Filter, NOT
+      // for anything downstream of a shuffle (shuffle-read order varies
+      // run to run while per-partition COUNTS still match, so the
+      // split-drift assert would pass silently on scrambled docIds)
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, Project => LProject}
+      val nodeOk = pages.queryExecution.optimizedPlan.collect {
+        case p: LProject => p.projectList.forall(_.deterministic)
+        case f: LFilter  => f.condition.deterministic
+        case _: LeafNode => true
+        case _           => false
+      }
+      require(nodeOk.forall(identity),
+        "inputOrdered requires a stored-table input (file scan plus " +
+          "narrow deterministic Project/Filter only): a derived/shuffled " +
+          "Dataset has non-deterministic in-partition row order, which " +
+          "would scramble arrival-order docIds across rebuilds. Use the " +
+          "sorted build, or materialize the input to a table first. Plan:\n" +
+          pages.queryExecution.optimizedPlan.treeString)
+    }
 
     val (parted, counts): (Dataset[(String, String, String, java.sql.Timestamp)], Array[Long]) =
       if (cfg.inputOrdered) {
@@ -451,9 +483,7 @@ object IndexBuilder {
     // would hand the LOW-width run fewer, fatter SPIMI tasks
     // (bytesPerCore grows as cores shrink) — wave quantization that
     // skews any cross-width comparison
-    splitConfPrev.foreach { case (k, prev) =>
-      prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-    }
+    restoreSplitConf()
 
     // ---- exact per-term stats from merged row metadata ----------------
     // (columnar scan of term/df/ttf only — blocks never read)
@@ -507,6 +537,7 @@ object IndexBuilder {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
     InvertedIndex.open(spark, dir)
+    } finally restoreSplitConf()
   }
 
   /** ≤ parts-1 sorted sort-key cut points; partition p holds keys in

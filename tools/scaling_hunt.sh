@@ -14,8 +14,20 @@ MIN_CPU=${MIN_CPU:-0.95}   # pure-CPU 32v8 per-4x must be near-ideal (clean ~1.0
 MIN_MEM=${MIN_MEM:-0.50}   # bandwidth per-4x; clean windows measure 0.55-0.67
 REPS=${REPS:-2}            # best-of-N per width inside the pair
 SLEEP=${SLEEP:-180}
+BENCH_LOCK=/tmp/graft_bench.lock
+PAIR_LOCK=/tmp/graft_hunt_pair.lock
+# the driver bench announces itself via $BENCH_LOCK; while it exists
+# (and is < 30 min old — stale otherwise) the hunt must stay entirely
+# quiet: even the 6 s probe is load the bench record would absorb
+bench_running() {
+  [ -f "$BENCH_LOCK" ] || return 1
+  local age=$(( $(date +%s) - $(stat -c %Y "$BENCH_LOCK" 2>/dev/null || echo 0) ))
+  [ "$age" -lt 1800 ]
+}
+trap 'rm -f "$PAIR_LOCK"' EXIT
 i=0
 while true; do
+  if bench_running; then sleep 30; continue; fi
   probe=$(SPARK_GRAFT_CALPROBE=1 $JAVA $OPENS -Xmx2g -cp "$CP" graft.Bench 2>/dev/null | grep calprobe || true)
   ts=$(date -u +%FT%TZ)
   if [ -n "$probe" ]; then
@@ -28,8 +40,10 @@ while true; do
   if [ -n "${cpu:-}" ] && [ -n "${mem:-}" ] && \
      python3 -c "import sys; sys.exit(0 if float('$cpu')>=$MIN_CPU and float('$mem')>=$MIN_MEM else 1)"; then
     for p in $PAIRS; do
+      if bench_running; then break; fi
       if [ "$p" = "832" ]; then FROM=8; TO=32; else FROM=2; TO=8; fi
       rm -rf /dev/shm/graftbench/idx/scale$FROM /dev/shm/graftbench/idx/scale$TO
+      touch "$PAIR_LOCK"
       line=$(SPARK_GRAFT_SCALING=1 SPARK_GRAFT_REPEAT=2048 \
         SPARK_GRAFT_SCALE_FROM=$FROM SPARK_GRAFT_SCALE_TO=$TO \
         SPARK_GRAFT_SCALE_REPS=$REPS SPARK_GRAFT_SPECULATION=false \
@@ -39,8 +53,13 @@ while true; do
         SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
         $JAVA $OPENS -Xmx8g -cp "$CP" -Dspark.ui.enabled=false \
         -Dspark.sql.session.timeZone=UTC graft.Bench 2>/dev/null | grep '"scaling"')
+      rm -f "$PAIR_LOCK"
       ts=$(date -u +%FT%TZ)
-      echo "{\"ts\":\"$ts\",\"pair\":\"$p\",${line#\{}" >> "$OUT"
+      if [ -n "$line" ]; then
+        echo "{\"ts\":\"$ts\",\"pair\":\"$p\",${line#\{}" >> "$OUT"
+      else
+        echo "{\"ts\":\"$ts\",\"pair\":\"$p\",\"status\":\"failed\"}" >> "$OUT"
+      fi
     done
   fi
   i=$((i+1))
