@@ -428,15 +428,17 @@ object SparkEntry {
     }),
     "sx_unique" -> ((s, d) => tpch(s, d, "events")
       .select("event_type").distinct().orderBy("event_type")),
-    "sx_collapse" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
-      tpch(s, d, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("o_custkey", "o_orderkey")
-        .orderBy("o_custkey")
-    }),
+    // collapse via max_by hash agg (argmax over the total order
+    // (o_totalprice desc, o_orderkey asc)) — map-side partials keep
+    // per-task input bounded even when one customer holds most of the
+    // orders; the Window.partitionBy form would move whole groups into
+    // single tasks (mirrors RelationalPath.collapseByLang)
+    "sx_collapse" -> ((s, d) => tpch(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(max_by(col("o_orderkey"),
+        struct(col("o_totalprice"), (-col("o_orderkey")).as("no"))).as("o_orderkey"))
+      .select("o_custkey", "o_orderkey")
+      .orderBy("o_custkey")),
     "sx_stats" -> ((s, d) => tpch(s, d, "lineitem")
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity")).cast("double").as("sum_qty"),

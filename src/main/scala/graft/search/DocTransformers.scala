@@ -59,6 +59,42 @@ object DocTransformers {
       case s => Field(s)
     }
 
+  /** Cap for shipping hit ids as an isin predicate into the docs scan
+    * (the same regime bound as EDisMax.BfPushdownCap / Ltr). */
+  val HitPushdownCap = 10000
+
+  /** Driver-known ids of the hits frame when it is already local data
+    * — every rank tail collects to the driver and rebuilds a
+    * LocalRelation, so the candidate ids are free (NO probe job).
+    * Returns (columnName, ids): `docId` preferred (native parquet
+    * column — the isin reaches the scan as PushedFilters), else
+    * `doc_id` (derived from url — plan-level prune only). */
+  private def localHitIds(df: DataFrame): Option[(String, Seq[Long])] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val key =
+      if (df.columns.contains("docId")) "docId"
+      else if (df.columns.contains("doc_id")) "doc_id"
+      else return None
+    df.queryExecution.optimizedPlan match {
+      case lr: LocalRelation if lr.data.length <= HitPushdownCap =>
+        val i = lr.output.indexWhere(_.name == key)
+        if (i < 0 ||
+          lr.output(i).dataType != org.apache.spark.sql.types.LongType) None
+        else Some((key, lr.data.map(_.getLong(i)).toSeq))
+      case _ => None
+    }
+  }
+
+  /** docsWithId pruned to the hits frame's ids when they are
+    * driver-known (capped-isin — the Ltr/bf treatment): a ≤k-hit fl
+    * evaluation reads ≤k docs rows' row groups instead of scanning the
+    * corpus. Falls back to the full frame for non-local hits. */
+  private def prunedDocs(rel: RelationalPath, hits: DataFrame): DataFrame =
+    localHitIds(hits) match {
+      case Some((key, ids)) => rel.docsWithId.filter(col(key).isin(ids: _*))
+      case None => rel.docsWithId
+    }
+
   /** Apply transformer specs to a hits frame (must carry `doc_id`;
     * `docId` is attached on demand). Plain `Field` specs select the
     * final projection; with no Field specs all columns are kept. */
@@ -69,16 +105,19 @@ object DocTransformers {
       spec match {
         case DocIdT =>
           if (df.columns.contains("docId")) df
-          else df.join(rel.docsWithId.select(col("docId"), col("doc_id")), "doc_id")
+          else df.join(prunedDocs(rel, df).select(col("docId"), col("doc_id")),
+            "doc_id")
         case ValueT(name, v) => df.withColumn(name, lit(v))
         case FnT(name, fn, args) =>
           // evaluate over the hit's docs-table row: join the referenced
-          // columns (hits ≤ k rows — Catalyst broadcasts the small side)
+          // columns (hits ≤ k rows — Catalyst broadcasts the small
+          // side, and driver-known hit ids prune the scan)
           val needed = args.filterNot(df.columns.contains)
           val joined =
             if (needed.isEmpty) df
             else df.join(
-              rel.docsWithId.select((col("doc_id") +: needed.map(col)): _*),
+              prunedDocs(rel, df)
+                .select((col("doc_id") +: needed.map(col)): _*),
               "doc_id")
           joined.withColumn(name,
             graft.functions.ValueSources.fn(fn, args.map(col): _*))

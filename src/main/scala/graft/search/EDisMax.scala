@@ -124,7 +124,8 @@ object EDisMax {
            pf: Seq[(IndexView, Double)] = Nil,
            pf2: Seq[(IndexView, Double)] = Nil,
            pf3: Seq[(IndexView, Double)] = Nil,
-           bq: Seq[(String, Double)] = Nil): DataFrame = {
+           bq: Seq[(String, Double)] = Nil,
+           bfCap: Int = BfPushdownCap): DataFrame = {
     require(fields.nonEmpty, "edismax needs at least one qf field")
     val spark = fields.head._1.spark
     val scoredTerms = p.must ++ p.should
@@ -170,35 +171,72 @@ object EDisMax {
       out = out.join(excluded, Seq("docId"), "left_anti")
     }
     // phrase boosts: full phrase (pf), bigram (pf2), trigram (pf3)
-    // shingles of the positional order; each is a left join (a miss
-    // keeps the doc, boost 0), fields in list order, grams left→right.
-    // The positional terms' position table + df lookup are built ONCE
-    // per distinct field — one dictionary collect and one decode
-    // definition shared by every gram, not one per gram.
-    val phraseCtx = scala.collection.mutable.HashMap
-      .empty[IndexView, (org.apache.spark.sql.DataFrame, Map[String, Long])]
-    def ctxFor(idx: IndexView) = phraseCtx.getOrElseUpdate(idx, {
-      val rel = new RelationalPath(idx)
-      (rel.positionsTable(p.positional), rel.termDfs(p.positional))
-    })
-    def addPhraseBoosts(pfN: Seq[(IndexView, Double)], n: Int): Unit =
-      if (p.positional.length >= n) pfN.foreach { case (idx, boost) =>
-        val grams =
-          if (n == 0) Seq(p.positional) // pf: the whole phrase
-          else p.positional.sliding(n).toSeq
-        val (hits, dfOf) = ctxFor(idx)
-        grams.foreach { gram =>
-          val ps = new RelationalPath(idx).phraseScoresFrom(hits, dfOf, gram)
-            .select(col("docId"), col("ps"))
-          out = out.join(ps, Seq("docId"), "left")
-            .withColumn("s",
-              col("s") + lit(boost) * coalesce(col("ps"), lit(0.0)))
-            .drop("ps")
+    // shingles of the positional order — computed for ALL grams of ALL
+    // phrase fields in ONE batched pass per distinct field
+    // (RelationalPath.phraseFreqs: one position shuffle, every gram
+    // counted in-group), then folded into the score as a single Column
+    // expression in the PINNED additive order (fields in list order,
+    // grams left→right, pf before pf2 before pf3) with the exact
+    // per-gram FP op sequence of the one-join-per-gram path it
+    // replaces: s ← s + boost·coalesce(sumIdf·(ptf/(ptf + 1.2·(0.25 +
+    // 0.75·dlq/avgdl))), 0). A miss keeps the doc at +0.0 — pf never
+    // adds or removes hits.
+    final case class GramSpec(field: IndexView, boost: Double, gram: Seq[String])
+    val gramSeq: Seq[GramSpec] =
+      (if (p.positional.length >= 2)
+         pf.map { case (i, b) => GramSpec(i, b, p.positional) }
+       else Nil) ++
+      (if (p.positional.length >= 2)
+         pf2.flatMap { case (i, b) =>
+           p.positional.sliding(2).map(g => GramSpec(i, b, g)).toSeq }
+       else Nil) ++
+      (if (p.positional.length >= 3)
+         pf3.flatMap { case (i, b) =>
+           p.positional.sliding(3).map(g => GramSpec(i, b, g)).toSeq }
+       else Nil)
+    if (gramSeq.nonEmpty) {
+      val gramFields = gramSeq.map(_.field).distinct
+      // per distinct field: df lookup (one bounded collect), active
+      // gram contents (every term in the dictionary — a gram with an
+      // absent term scores 0 everywhere, exactly the empty frame the
+      // per-gram path produced), one batched freq frame, one left join
+      val perField: Map[IndexView, (Map[String, Long], IndexedSeq[Seq[String]], Int)] =
+        gramFields.zipWithIndex.map { case (idx, fi) =>
+          val rel = new RelationalPath(idx)
+          val mine = gramSeq.filter(_.field == idx)
+          val dfOf = rel.termDfs(mine.flatMap(_.gram).distinct)
+          val contents = mine.map(_.gram).distinct
+            .filter(_.forall(dfOf.contains)).toIndexedSeq
+          if (contents.nonEmpty) {
+            val ff = rel.phraseFreqs(contents)
+              .select(col("docId"), col("ptfs").as(s"__ptfs$fi"),
+                col("dlq").as(s"__pdlq$fi"))
+            out = out.join(ff, Seq("docId"), "left")
+          }
+          idx -> ((dfOf, contents, fi))
+        }.toMap
+      var sCol = col("s")
+      gramSeq.foreach { case GramSpec(idx, boost, gram) =>
+        val (dfOf, contents, fi) = perField(idx)
+        val ci = contents.indexOf(gram)
+        if (ci >= 0) {
+          val n = idx.stats.docCount
+          var sumIdf = 0.0 // phrase-order fold, like the scorer path
+          gram.foreach(t =>
+            sumIdf += math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5)))
+          val ptf = element_at(col(s"__ptfs$fi"), lit(ci))
+          val ps = lit(sumIdf) * (ptf / (ptf +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              col(s"__pdlq$fi").cast("double") /
+              lit(new RelationalPath(idx).avgdlDouble))))
+          sCol = sCol + lit(boost) * coalesce(ps, lit(0.0))
         }
       }
-    if (p.positional.length >= 2) addPhraseBoosts(pf, 0)
-    addPhraseBoosts(pf2, 2)
-    addPhraseBoosts(pf3, 3)
+      out = out.withColumn("s", sCol)
+        .drop(perField.values.flatMap { case (_, cs, fi) =>
+          if (cs.nonEmpty) Seq(s"__ptfs$fi", s"__pdlq$fi") else Nil
+        }.toSeq: _*)
+    }
     bq.foreach { case (rawTerm, boost) =>
       // boost query: primary-field BM25 of the term, added where it
       // matches (left join keeps non-matching hits at +0). The term
@@ -213,25 +251,66 @@ object EDisMax {
           col("s") + lit(boost) * coalesce(col("bqs"), lit(0.0)))
         .drop("bqs")
     }
+    import spark.implicits._
     bf.foreach { fnCol =>
       // evaluate the boost function over the primary field's docs row
       // and ADD it (edismax bf is additive; `boost` would multiply).
-      // LEFT join + coalesce(0): bf can never add or remove hits, and
-      // a null-valued function (e.g. log(0)) contributes 0 instead of
-      // nulling the whole score — Solr bf semantics. When the hit set
-      // is small enough to ship as an isin predicate, the candidate
-      // docIds are PUSHED into the feature scan (row-group pruning);
-      // above the cap the distributed left join is the correct plan.
-      import spark.implicits._
-      val hitIds = out.select(col("docId").cast("long"))
-        .limit(BfPushdownCap + 1).as[Long].collect()
-      out = out.join(bfFeatures(fields.head._1, fnCol,
-          if (hitIds.length <= BfPushdownCap) Some(hitIds.toSeq) else None),
-          Seq("docId"), "left")
+      // LEFT-join semantics + coalesce(0): bf can never add or remove
+      // hits, and a null-valued function (e.g. log(0)) contributes 0
+      // instead of nulling the whole score — Solr bf semantics.
+      //
+      // The plan choice needs |hits|, but probing it with a blocking
+      // limit().collect() would evaluate the whole hit pipeline twice
+      // and add a serial round-trip to the hot path. Instead the hit
+      // count is UPPER-BOUNDED from term document frequencies alone
+      // (no job in warm mode — the dictionary df map lives on the
+      // driver): every hit matches all must terms in some field /
+      // at least one should term, so |hits| ≤ min over must of
+      // Σ_fields df, else Σ over should of Σ_fields df.
+      val dfsByField: Seq[Map[String, Long]] = fields.map { case (idx, _) =>
+        idx match {
+          case inv: graft.index.InvertedIndex if inv.termDfMap().isDefined =>
+            val m = inv.termDfMap().get
+            scoredTerms.flatMap(t => m.get(t).map(t -> _)).toMap
+          case _ => new RelationalPath(idx).termDfs(scoredTerms)
+        }
+      }
+      def sumDf(t: String): Long = dfsByField.map(_.getOrElse(t, 0L)).sum
+      val hitBound: Long =
+        if (p.must.nonEmpty) p.must.map(sumDf).min
+        else p.should.map(sumDf).sum
+      if (hitBound <= bfCap) {
+        // the entire hit set is provably ≤ the cap: materialize it
+        // once (one job), fetch bf features with the candidate ids
+        // PUSHED into the feature scan (row-group pruning — asserted
+        // in PlanSpec), and finish ranking on the driver with the same
+        // comparator the distributed tail uses.
+        val rows = out
+          .select(col("docId").cast("long"), col("doc_id").cast("long"),
+            col("s").cast("double"))
+          .as[(Long, Long, Double)].collect()
+        if (rows.isEmpty)
+          return Seq.empty[(Int, Long)].toDF("rank", "doc_id")
+        val bfMap: Map[Long, Double] =
+          bfFeatures(fields.head._1, fnCol, Some(rows.map(_._1).toSeq))
+            .select(col("docId").cast("long"), col("__bf").cast("double"))
+            .collect()
+            .map(r => r.getLong(0) ->
+              (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
+        val winners = rows
+          .map { case (d, id, s) => (d, id, s + bfMap.getOrElse(d, 0.0)) }
+          .sortBy { case (d, _, s) => (-s, d) }
+          .take(k)
+        return winners.toSeq.zipWithIndex
+          .map { case ((_, id, _), i) => (i + 1, id) }
+          .toDF("rank", "doc_id")
+      }
+      // above the cap the distributed left join is the correct plan —
+      // and it is the query's ONLY job (no probe round-trip)
+      out = out.join(bfFeatures(fields.head._1, fnCol, None), Seq("docId"), "left")
         .withColumn("s", col("s") + coalesce(col("__bf"), lit(0.0)))
         .drop("__bf")
     }
-    import spark.implicits._
     val winners = out
       .orderBy(desc("s"), asc("docId"))
       .limit(k)

@@ -676,6 +676,78 @@ final class RelationalPath(idx: graft.index.IndexView) {
   def phraseScores(terms: Seq[String]): DataFrame =
     phraseScoresFrom(positionsTable(terms), termDfs(terms), terms)
 
+  /** Exact phrase frequencies for MANY grams in ONE distributed pass —
+    * the edismax pf/pf2/pf3 batch kernel. ONE shuffle of the decoded
+    * positions of all gram terms, grouped by doc; every gram's phrase
+    * tf is counted inside the group, so plan depth (and shuffle count)
+    * is CONSTANT in the gram count — replacing the one k-way position
+    * self-join per gram that made pf2 latency linear in the bigram
+    * count. Mirrors how the reference evaluates all pf/pf2/pf3
+    * PhraseQueries in one pass over the shared per-segment term
+    * positions [U solr/core/.../search/ExtendedDismaxQParser.java
+    * addShingledPhraseQueries; lucene ExactPhraseMatcher].
+    *
+    * Output: (docId, ptfs: Map[gramIdx → phrase tf], dlq) — live docs
+    * with at least one matching gram only; a gram with ptf 0 has no
+    * map entry. The per-gram count is integer-exact identical to
+    * `phraseScoresFrom`'s array_contains fold. */
+  private[search] def phraseFreqs(grams: IndexedSeq[Seq[String]]): DataFrame = {
+    require(grams.nonEmpty && grams.forall(_.length >= 2),
+      "phraseFreqs needs grams of length >= 2")
+    val allTerms = grams.flatten.distinct
+    val gramArr: Array[Array[String]] = grams.map(_.toArray).toArray
+    val freqs = positionsTable(allTerms)
+      .select(col("docId").cast("long"), col("term"), col("pos"))
+      .as[(Long, String, Seq[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        val posOf = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.foreach { case (_, t, ps) => posOf(t) = ps.toArray }
+        val setOf = posOf.map { case (t, ps) =>
+          val s = new java.util.HashSet[Integer](ps.length * 2)
+          ps.foreach(p => s.add(p))
+          t -> s
+        }
+        val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+        var g = 0
+        while (g < gramArr.length) {
+          val gram = gramArr(g)
+          var ok = true
+          var i = 0
+          while (ok && i < gram.length) { ok = posOf.contains(gram(i)); i += 1 }
+          if (ok) {
+            val first = posOf(gram(0))
+            var ptf = 0
+            var j = 0
+            while (j < first.length) {
+              val p = first(j)
+              var m = 1
+              var good = true
+              while (good && m < gram.length) {
+                good = setOf(gram(m)).contains(p + m)
+                m += 1
+              }
+              if (good) ptf += 1
+              j += 1
+            }
+            if (ptf > 0) hits += ((g, ptf.toDouble))
+          }
+          g += 1
+        }
+        if (hits.isEmpty) Iterator.empty
+        else Iterator.single((docId, hits.toMap))
+      }
+      .toDF("docId", "ptfs")
+    // live-docs + dlq in one inner join (the same role as
+    // phraseScoresFrom's docsWithId join: tombstoned docs contribute 0)
+    freqs.join(docsWithId.select(col("docId"), col("dlq")), "docId")
+  }
+
+  /** The double-precision BM25 kernel constants exposed for callers
+    * that re-state the phrase score as a Column (edismax batch boosts):
+    * avgdl as the double the in-class formulas use. */
+  private[search] def avgdlDouble: Double = avgdlD
+
   /** phraseScores over a PRE-BUILT position table + df lookup, so a
     * caller boosting many grams of the same token set (edismax
     * pf/pf2/pf3) pays ONE dictionary collect and shares one decode

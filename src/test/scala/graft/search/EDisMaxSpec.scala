@@ -117,6 +117,16 @@ class EDisMaxSpec extends SparkSpec {
     assert(byDl === oracle)
   }
 
+  test("bf: distributed-join path (cap 0) matches the pushed-isin driver path") {
+    import org.apache.spark.sql.functions._
+    val fields = Seq(textIdx -> 1.0)
+    val p = EDisMax.parse("spark merge", "0")
+    val fn = Some(log(col("dl") + lit(1L)))
+    val pushed = EDisMax.topK(fields, p, 10, bf = fn).collect().toSeq
+    val joined = EDisMax.topK(fields, p, 10, bf = fn, bfCap = 0).collect().toSeq
+    assert(pushed === joined)
+  }
+
   test("pf: phrase boost never changes the hit set, boosts phrase docs") {
     val p = EDisMax.parse("batch batch", "0")
     assert(p.positional === Seq("batch", "batch")) // raw order, dups kept

@@ -85,6 +85,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(docId"), p.take(3000))
   }
 
+  test("fl pipeline: driver-local hit ids prune the docs feature scan") {
+    val spark2 = spark
+    import spark2.implicits._
+    // hits carrying the native docId (Searcher.topK shape): the isin
+    // reaches the parquet scan as PushedFilters
+    val hits = Seq((1, 5L, 7L), (2, 6L, 8L)).toDF("rank", "docId", "doc_id")
+    val out = DocTransformers.apply(idx, hits, TermQ("spark"),
+      DocTransformers.parseFl("doc_id,len:ln(dl)"))
+    val p = plan(out)
+    assert(p.contains("In(docId"), p.take(4000))
+    // doc_id-only hits (relational rank-tail shape): plan-level prune
+    // via the derived column — the full-corpus join is still gone
+    val hits2 = Seq((1, 7L)).toDF("rank", "doc_id")
+    val p2 = plan(DocTransformers.apply(idx, hits2, TermQ("spark"),
+      DocTransformers.parseFl("doc_id,[docid]")))
+    // Catalyst collapses the derived-column isin into a Filter directly
+    // above the scan (single id → equality on the url-derived doc_id)
+    assert(p2.contains("element_at(split(url") &&
+      (p2.contains("= 7)") || p2.contains("IN (7")), p2.take(4000))
+  }
+
   test("attr-range predicate pushes into the docs parquet scan") {
     val pred = RelationalPath.attrPredColumn(idx.docs.schema,
       AttrRangeQ("ts", Some("2025-10-24 00:02:00"),

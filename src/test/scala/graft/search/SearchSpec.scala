@@ -122,6 +122,20 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("FilterBits: executor-side bitmap == row collect; O(partitions) blobs only") {
+    import org.apache.spark.sql.functions._
+    val matching = idx.docs
+      .filter(coalesce(col("lang") === "en", lit(false))).select("docId")
+    val (bits, blobCount) = FilterBits.build(matching)
+    // the driver never receives more than one blob per partition — the
+    // bounded-collect contract (a dense filter ships bitmap bytes, not
+    // O(matchingRows) row objects)
+    assert(blobCount <= matching.rdd.getNumPartitions)
+    val naive = new java.util.BitSet()
+    matching.collect().foreach(r => naive.set(r.getLong(0).toInt))
+    assert(bits === naive)
+  }
+
   test("searchAfter page 2 of MatchAll is not hidden by the dense-prefix cutoff") {
     // MatchAll scores are constant ⇒ rank is docId order; page 2 must be
     // docIds k..2k-1, which live PAST the first-k-per-segment cutoff the
