@@ -22,7 +22,24 @@ import graft.search.{GraphStreams, Query, RelationalPath, Searcher, TermQ}
 object SparkEntry {
 
   /** Bump when the on-disk index format changes (stale caches rebuild). */
-  private val FormatVersion = "v7" // v7: suggest gram table carries (weight, glen, gmask); v6: _gram_meta.json sidecar on the suggest ngram table; v5: stored text column in docs (staged sorted corpus); v4: termstats (tlen, cmask)
+  private val FormatVersion = "v8" // v8: suggest gram table carries edge flag + infix meta; v7: suggest gram table carries (weight, glen, gmask); v6: _gram_meta.json sidecar on the suggest ngram table; v5: stored text column in docs (staged sorted corpus); v4: termstats (tlen, cmask)
+
+  /** Polygon for the ir_q53 gate — .25 offsets keep every synthesized
+    * (x.5-grid) point off the edges and vertices. */
+  private val GatePolygon: Seq[(Double, Double)] =
+    Seq((0.25, 99.25), (40.25, 160.25), (-20.25, 170.25))
+
+  /** The ir_q53 oracle twin's ray-cast restated edge-by-edge from the
+    * SAME polygon literal (generated, so engine and twin can never
+    * disagree on the vertices or the op sequence). */
+  private def polygonCrossingSql(poly: Seq[(Double, Double)]): String =
+    poly.indices.map { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.length)
+      s"(CASE WHEN (($y1 > lat) <> ($y2 > lat)) AND " +
+        s"(lon < ($x2 - $x1) * (lat - $y1) / ($y2 - $y1) + $x1) " +
+        "THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", s") % 2 = 1")
 
   private val indexes = new ConcurrentHashMap[String, InvertedIndex]()
 
@@ -180,6 +197,19 @@ object SparkEntry {
         Seq(1.0, 0.001, -0.0005))
       graft.search.Ltr.rescore(index(s, d), Seq("spark", "merge"), 30, 10, model)
     }),
+    // tree-ensemble LTR (MultipleAdditiveTreesModel): two additive
+    // regression trees over (base score, dl, dlq) as nested
+    // when/otherwise Columns — same bounded candidate frame as ir_q34
+    "ir_q54_ltr_trees" -> ((s, d) => {
+      import graft.search.Ltr._
+      val model = TreesModel(
+        Seq("s" -> col("s"), "dl" -> col("dl").cast("double"),
+          "dlq" -> col("dlq").cast("double")),
+        Seq(1.0 -> Branch("dl", 40.0, Leaf(0.2),
+              Branch("s", 1.5, Leaf(0.05), Leaf(0.5))),
+          0.5 -> Branch("dlq", 35.0, Leaf(0.1), Leaf(-0.3))))
+      graft.search.Ltr.rescore(index(s, d), Seq("spark", "merge"), 30, 10, model)
+    }),
     // edismax tie + bf: dismax tiebreak folds the losing field in at
     // 0.3, and an additive ln(dl+1) boost function over the primary
     // field's docs row (the Solr `tie`/`bf` params)
@@ -254,6 +284,18 @@ object SparkEntry {
       "cast(doc_id % 120 as double) - 59.5",
       "cast((doc_id * 7) % 360 as double) - 179.5",
       10.0, 20.0, 2000.0, 10)),
+    // {!bbox}: two pure range predicates on the synthesized lat/lon
+    // (LatLonPoint#newBoxQuery) — constant score ⇒ url-rank order
+    "ir_q51_bbox" -> ((s, d) => rel(s, d).bboxTopK(
+      "cast(doc_id % 120 as double) - 59.5",
+      "cast((doc_id * 7) % 360 as double) - 179.5",
+      0.0, 30.0, 100.0, 170.0, 10)),
+    // polygon containment (LatLonPoint#newPolygonQuery): even-odd ray
+    // cast as a Column fold over the triangle's edges
+    "ir_q53_polygon" -> ((s, d) => rel(s, d).polygonTopK(
+      "cast(doc_id % 120 as double) - 59.5",
+      "cast((doc_id * 7) % 360 as double) - 179.5",
+      GatePolygon, 10)),
     // cross-index join ({!join fromIndex=url}src3 ∧ body:spark): body
     // BM25 hits semi-joined to url-field matches — docId-aligned
     // indexes make the join key docId itself
@@ -264,6 +306,15 @@ object SparkEntry {
     // Spans kernel
     "ir_q45_intervals" -> ((s, d) =>
       rel(s, d).intervalContainingDocs(Seq("spark", "merge"), 10, "join")),
+    // interval algebra remainder: extend(unordered(sort, window), 1, 1)
+    // OVERLAPPING batch — unordered as a combinable SOURCE, widened by
+    // one position each side, kept where it overlaps a batch occurrence
+    "ir_q52_intervals_un" -> ((s, d) => {
+      import graft.search.Spans._
+      rel(s, d).intervalSourceDocs(IOverlapping(
+        IExtend(IUnordered(Seq(ITerm("sort"), ITerm("window"))), 1, 1),
+        ITerm("batch")))
+    }),
     // edismax stepped mm ("2<67%": >2 optional clauses → 67% of 3 = 2
     // required) — the Solr conditional minimum-should-match spec
     "ir_q46_edismax_mm" -> ((s, d) => {
@@ -611,6 +662,20 @@ object SparkEntry {
       }
       graft.search.Suggest.suggestWeighted(s, dir, "sp", 10)
     }),
+    // TRUE infix suggester (AnalyzingInfixSuggester): all-position
+    // grams — "ark" surfaces "spark"; prefix matches rank ahead of
+    // infix matches (the blended sort), then weight desc
+    "ir_q50_suggest_infix" -> ((s, d) => {
+      val dir = s"/root/repo/target/gindex/$FormatVersion/" +
+        d.replaceAll("[^A-Za-z0-9.]+", "_") + "-suggesti"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+        graft.search.Suggest.buildSuggestIndex(
+          index(s, d).termStats
+            .select(col("term"), col("df").cast("long").as("weight")),
+          dir, infix = true)
+      graft.search.Suggest.suggestInfix(s, dir, "ark", 10)
+        .select(col("term"), col("weight"), col("edge").cast("long").as("edge"))
+    }),
     // ---- function-query registry (§2.10) ----
     "fn_valuesources" -> ((s, d) => {
       import graft.functions.{ValueSources => V}
@@ -622,7 +687,23 @@ object SparkEntry {
         V.fn("if", col("lang") === "en", lit(1), lit(0)).cast("long").as("f_if"),
         V.fn("def", col("lang"), lit("und")).as("f_def"),
         V.fn("concat", col("lang"), lit("_"), col("source")).as("f_concat"),
-        V.fn("sum", col("n_chars"), col("doc_id")).cast("long").as("f_sum"))
+        V.fn("sum", col("n_chars"), col("doc_id")).cast("long").as("f_sum"),
+        // batch 3: multi-valued selectors / payload map / currency
+        V.fieldSelect(array(col("n_chars").cast("long"), col("doc_id"),
+          lit(100L)), "min").cast("long").as("f_fmin"),
+        V.fieldSelect(array(col("n_chars").cast("long"), col("doc_id"),
+          lit(100L)), "max").cast("long").as("f_fmax"),
+        V.fieldSelect(array(col("n_chars").cast("long"), col("doc_id"),
+          lit(100L)), "first").cast("long").as("f_ffirst"),
+        V.fieldSelect(array(col("n_chars").cast("long"), col("doc_id"),
+          lit(100L)), "last").cast("long").as("f_flast"),
+        V.fn("payload", map(lit("a"), col("n_chars").cast("long")),
+          lit("a"), lit(-1L)).cast("long").as("f_payload"),
+        V.fn("payload", map(lit("a"), col("n_chars").cast("long")),
+          lit("b"), lit(-1L)).cast("long").as("f_payload_miss"),
+        V.currency(col("n_chars").cast("double"),
+          when(col("lang") === "en", "USD").otherwise("EUR"), "USD",
+          Map("EUR" -> 1.25)).cast("double").as("f_currency"))
         .orderBy("doc_id")
     })
   )
@@ -954,6 +1035,24 @@ object SparkEntry {
           |  FROM sel JOIN documents d USING (doc_id)) WHERE rn <= 30),
           |feat AS (SELECT c.doc_id, c.src,
           |    1.0 * c.s + 0.001 * l.dl + -0.0005 * q.dlq AS ltr
+          |  FROM cand c JOIN dl l USING (doc_id) JOIN dlq q ON q.doc_id = c.doc_id)
+          |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+          |  SELECT row_number() OVER (ORDER BY ltr DESC, src ASC, doc_id ASC) AS rank, doc_id
+          |  FROM feat) WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    // tree-ensemble twin: the same two trees restated as nested CASEs,
+    // weight fold in declaration order (1.0·T1 + 0.5·T2)
+    "ir_q54_ltr_trees" ->
+      (bm25Cte +
+        """, sel AS (SELECT doc_id, sum(score) AS s FROM scored
+          |    WHERE term IN ('spark','merge') GROUP BY doc_id),
+          |cand AS (SELECT doc_id, s, src FROM (
+          |  SELECT sel.doc_id, sel.s, d.source AS src,
+          |    row_number() OVER (ORDER BY sel.s DESC, d.source ASC, sel.doc_id ASC) AS rn
+          |  FROM sel JOIN documents d USING (doc_id)) WHERE rn <= 30),
+          |feat AS (SELECT c.doc_id, c.src,
+          |    1.0 * (CASE WHEN l.dl <= 40.0 THEN 0.2
+          |           ELSE (CASE WHEN c.s <= 1.5 THEN 0.05 ELSE 0.5 END) END)
+          |  + 0.5 * (CASE WHEN q.dlq <= 35.0 THEN 0.1 ELSE -0.3 END) AS ltr
           |  FROM cand c JOIN dl l USING (doc_id) JOIN dlq q ON q.doc_id = c.doc_id)
           |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
           |  SELECT row_number() OVER (ORDER BY ltr DESC, src ASC, doc_id ASC) AS rank, doc_id
@@ -1291,6 +1390,26 @@ object SparkEntry {
     "sx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bbox twin: two range predicates; constant score ⇒ url-rank order
+    "ir_q51_bbox" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(doc_id % 120 AS DOUBLE) - 59.5 AS lat,
+        |    CAST((doc_id * 7) % 360 AS DOUBLE) - 179.5 AS lon FROM documents),
+        |sel AS (SELECT doc_id FROM g
+        |  WHERE lat >= 0.0 AND lat <= 30.0 AND lon >= 100.0 AND lon <= 170.0)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+        |  SELECT row_number() OVER (ORDER BY d.source ASC, sel.doc_id ASC) AS rank, sel.doc_id
+        |  FROM sel JOIN documents d USING (doc_id)) WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // polygon twin: the identical even-odd ray cast, generated from the
+    // same polygon literal as the engine's Column fold
+    "ir_q53_polygon" ->
+      (s"""WITH g AS (SELECT doc_id,
+        |    CAST(doc_id % 120 AS DOUBLE) - 59.5 AS lat,
+        |    CAST((doc_id * 7) % 360 AS DOUBLE) - 179.5 AS lon FROM documents),
+        |sel AS (SELECT doc_id FROM g WHERE ${polygonCrossingSql(GatePolygon)})
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id FROM (
+        |  SELECT row_number() OVER (ORDER BY d.source ASC, sel.doc_id ASC) AS rank, sel.doc_id
+        |  FROM sel JOIN documents d USING (doc_id)) WHERE rank <= 10 ORDER BY rank""").stripMargin,
     // geofilt twin: the IDENTICAL haversine op sequence (dLat/dLon
     // halved inside, pow(sin,2), cos·cos·pow grouping, 2·R·asin(sqrt))
     // — FP multiply is commutative bit-for-bit, so operand order in the
@@ -1330,6 +1449,28 @@ object SparkEntry {
         |SELECT DISTINCT miv.doc_id AS doc_id FROM miv JOIN ci ON ci.doc_id = miv.doc_id
         |WHERE miv.e - miv.s - 1 <= 10 AND ci.p BETWEEN miv.s AND miv.e
         |ORDER BY miv.doc_id""".stripMargin,
+    // unordered/extend/overlapping twin: minimal covering windows of
+    // {sort, window} from ALL pairs (containment-filtered — the true
+    // minimal set), each widened ±1 (start clipped at the first
+    // position), kept where it overlaps a batch position. Positions are
+    // 1-based here vs the engine's 0-based — differences and the clip
+    // boundary translate exactly.
+    "ir_q52_intervals_un" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, u.s.p AS p, u.s.tm AS tm FROM (
+        |  SELECT doc_id, [{'p': i, 'tm': t[i]} FOR i IN generate_series(1, len(t))] AS ps FROM toks), unnest(ps) AS u(s)),
+        |ai AS (SELECT doc_id, p FROM pos WHERE tm = 'sort'),
+        |bi AS (SELECT doc_id, p FROM pos WHERE tm = 'window'),
+        |ci AS (SELECT doc_id, p FROM pos WHERE tm = 'batch'),
+        |win AS (SELECT DISTINCT a.doc_id, least(a.p, b.p) AS s, greatest(a.p, b.p) AS e
+        |  FROM ai a JOIN bi b USING (doc_id)),
+        |miv AS (SELECT w.doc_id, w.s, w.e FROM win w WHERE NOT EXISTS (
+        |  SELECT 1 FROM win w2 WHERE w2.doc_id = w.doc_id
+        |    AND (w2.s <> w.s OR w2.e <> w.e) AND w.s <= w2.s AND w2.e <= w.e)),
+        |ext AS (SELECT doc_id, greatest(s - 1, 1) AS s, e + 1 AS e FROM miv)
+        |SELECT DISTINCT ext.doc_id AS doc_id FROM ext JOIN ci USING (doc_id)
+        |WHERE ext.s <= ci.p AND ci.p <= ext.e
+        |ORDER BY doc_id""".stripMargin,
     // stepped-mm twin: "2<67%" at 3 optional clauses → 2 required
     "ir_q46_edismax_mm" -> topkSql(
       "SELECT doc_id, sum(score) AS s FROM scored WHERE term IN ('sort','merge','window') GROUP BY doc_id HAVING count(*) >= 2"),
@@ -1488,6 +1629,16 @@ object SparkEntry {
         |  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1)
         |SELECT term, weight FROM w WHERE term LIKE 'sp%'
         |ORDER BY weight DESC, term ASC LIMIT 10""".stripMargin,
+    // infix-suggester twin: substring containment anywhere in the term
+    // (the gram table is an index, not a semantic change); prefix
+    // matches first — the blended sort
+    "ir_q50_suggest_infix" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)
+        |SELECT term, df AS weight,
+        |  (CASE WHEN starts_with(term, 'ark') THEN 1 ELSE 0 END)::BIGINT AS edge
+        |FROM dfs WHERE contains(term, 'ark')
+        |ORDER BY edge DESC, weight DESC, term ASC LIMIT 10""".stripMargin,
     "fn_valuesources" ->
       """SELECT doc_id,
         |abs(n_chars - 500)::BIGINT AS f_abs,
@@ -1497,7 +1648,14 @@ object SparkEntry {
         |(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS f_if,
         |coalesce(lang, 'und') AS f_def,
         |lang || '_' || source AS f_concat,
-        |(n_chars + doc_id)::BIGINT AS f_sum
+        |(n_chars + doc_id)::BIGINT AS f_sum,
+        |least(n_chars, doc_id, 100)::BIGINT AS f_fmin,
+        |greatest(n_chars, doc_id, 100)::BIGINT AS f_fmax,
+        |n_chars::BIGINT AS f_ffirst,
+        |CAST(100 AS BIGINT) AS f_flast,
+        |n_chars::BIGINT AS f_payload,
+        |CAST(-1 AS BIGINT) AS f_payload_miss,
+        |(n_chars::DOUBLE * (CASE WHEN lang = 'en' THEN 1.0 ELSE 1.25 END))::DOUBLE AS f_currency
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sx_significant" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

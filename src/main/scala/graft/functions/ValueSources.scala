@@ -101,7 +101,16 @@ object ValueSources {
         s"sqedist needs an even arg count, got ${args.length}")
       val (xs, ys) = args.splitAt(args.length / 2)
       xs.zip(ys).map { case (x, y) => (x - y) * (x - y) }.reduce(_ + _)
-    }))
+    }),
+    // field(x) — the identity passthrough (Solr FieldValueSource); the
+    // multi-valued selector form lives in `fieldSelect` below
+    "field" -> uni(identity),
+    // payload(field, key[, default]) — keyed per-doc payload lookup
+    // with a default for absent keys [U solr PayloadScoreQParserPlugin /
+    // FloatPayloadValueSource]: the payload store is a map-typed column
+    "payload" -> { case Seq(m, k) => element_at(m, k)
+                   case Seq(m, k, d) => coalesce(element_at(m, k), d)
+                   case args => sys.error(s"payload takes 2-3 args, got ${args.length}") })
     // NOTE: `ord` is deliberately NOT a Column in this registry — a
     // column-level ordinal would be a no-partition Window (the corpus
     // through one task). Use `ValueSources.ord(df, field)` below.
@@ -152,6 +161,35 @@ object ValueSources {
     else if (p == 1.0) diffs.reduce(_ + _)
     else if (p == 2.0) sqrt(diffs.map(d => d * d).reduce(_ + _))
     else pow(diffs.map(pow(_, p)).reduce(_ + _), 1.0 / p)
+  }
+
+  /** Multi-valued field selector — `field(name, min|max|first|last)`
+    * over an array-typed column [U solr/core/.../schema/FieldType
+    * #getSingleValueSource, org.apache.lucene.search.SortedNumericSelector]:
+    * collapses a multiValued field to one value per doc. Pure built-ins
+    * (codegen). */
+  def fieldSelect(c: Column, selector: String): Column = selector match {
+    case "min" => array_min(c)
+    case "max" => array_max(c)
+    case "first" => element_at(c, 1)
+    case "last" => element_at(c, -1)
+    case other => sys.error(s"unknown multi-value selector: $other")
+  }
+
+  /** `currency(amount, fromCode, toCode)` against a caller-supplied
+    * rate table [U solr/core/.../schema/CurrencyFieldType +
+    * ExchangeRateProvider]: rates map currency code → units of `to`
+    * per 1 unit; unknown codes convert to null (the provider-miss
+    * case). The code dispatch is a deterministic when-chain (sorted
+    * fold), all codegen. */
+  def currency(amount: Column, from: Column, to: String,
+               rates: Map[String, Double]): Column = {
+    val withTo = rates + (to -> 1.0)
+    val rate = withTo.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (code, r)) =>
+        when(from === lit(code), lit(r)).otherwise(acc)
+      }
+    amount * rate
   }
 
   /** `rord(field)` — reverse ordinal (Solr ReverseOrdFieldSource):

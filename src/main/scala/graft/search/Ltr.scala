@@ -17,14 +17,45 @@ import org.apache.spark.sql.functions._
   * order, so an external oracle can reproduce scores bit-for-bit). */
 object Ltr {
 
+  /** Any LTR model scores candidates through one Column expression —
+    * codegen, evaluated only over the ≤ topN candidate rows. */
+  sealed trait Model { def scoreCol: Column }
+
   final case class LinearModel(features: Seq[(String, Column)],
-                               weights: Seq[Double]) {
+                               weights: Seq[Double]) extends Model {
     require(features.length == weights.length, "one weight per feature")
     /** w·f as a left fold in declaration order. */
     def scoreCol: Column =
       features.zip(weights)
         .map { case ((_, f), w) => lit(w) * f }
         .reduce(_ + _)
+  }
+
+  /** Additive regression-tree ensemble — the reference's LambdaMART
+    * serving model [U solr/contrib/ltr/.../model/
+    * MultipleAdditiveTreesModel.java: branch when feature ≤ threshold
+    * go left, else right; score = Σ trees weight · leaf]. Each tree
+    * compiles to a nested when/otherwise Column — whole-stage codegen,
+    * no UDF, and the same bounded candidate frame as the linear model. */
+  sealed trait TreeNode
+  final case class Leaf(value: Double) extends TreeNode
+  final case class Branch(feature: String, threshold: Double,
+                          left: TreeNode, right: TreeNode) extends TreeNode
+
+  final case class TreesModel(features: Seq[(String, Column)],
+                              trees: Seq[(Double, TreeNode)]) extends Model {
+    private def featCol(n: String): Column =
+      features.find(_._1 == n)
+        .getOrElse(sys.error(s"tree references undeclared feature: $n"))._2
+    private def walk(n: TreeNode): Column = n match {
+      case Leaf(v) => lit(v)
+      case Branch(f, t, l, r) =>
+        when(featCol(f) <= lit(t), walk(l)).otherwise(walk(r))
+    }
+    /** Σ weight·tree as a left fold in declaration order (IEEE-pinned,
+      * like the linear fold). */
+    def scoreCol: Column =
+      trees.map { case (w, root) => lit(w) * walk(root) }.reduce(_ + _)
   }
 
   /** Candidate top-`topN` of an OR base query (scores summed, mm=1),
@@ -53,7 +84,7 @@ object Ltr {
     * feature fetch reads ≤ topN rows' row groups, never the corpus. */
   def candidateFeatures(idx: graft.index.IndexView,
                         cands: Seq[(Long, Long, Double)],
-                        model: LinearModel): DataFrame = {
+                        model: Model): DataFrame = {
     val rel = new RelationalPath(idx)
     val spark = idx.spark
     import spark.implicits._
@@ -70,7 +101,7 @@ object Ltr {
     * only ever sees ≤ topN rows; ranks are stamped on the driver — no
     * Window operator anywhere in the plan. */
   def rescore(idx: graft.index.IndexView, baseTerms: Seq[String],
-              topN: Int, k: Int, model: LinearModel): DataFrame = {
+              topN: Int, k: Int, model: Model): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
     val cands = candidates(idx, baseTerms, topN)

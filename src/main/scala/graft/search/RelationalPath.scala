@@ -511,6 +511,33 @@ final class RelationalPath(idx: graft.index.IndexView) {
       .toDF("rank", "doc_id")
   }
 
+  /** `{!bbox}` — LatLonPoint#newBoxQuery [U lucene/core/.../document/
+    * LatLonPoint.java#newBoxQuery, solr SpatialFilterQParser]: pure
+    * range predicates on lat/lon (crossing the dateline when
+    * lonMin > lonMax, as the reference's boxes do) — when lat/lon are
+    * stored columns the whole filter pushes into the parquet scan
+    * (PushedFilters — a strictly better plan than the haversine
+    * geofilt, which must evaluate trig per row). Constant score ⇒
+    * url-rank order, like every constant-score path. */
+  def bboxTopK(latSql: String, lonSql: String,
+               latMin: Double, latMax: Double,
+               lonMin: Double, lonMax: Double, k: Int): DataFrame =
+    constRankByDocId(
+      docsWithId.filter(graft.functions.Geo.bboxPred(
+          expr(latSql), expr(lonSql), latMin, latMax, lonMin, lonMax))
+        .select(col("docId"), col("doc_id")), k)
+
+  /** Polygon containment — LatLonPoint#newPolygonQuery [U lucene/core/
+    * .../document/LatLonPoint.java#newPolygonQuery; lucene/core/.../geo/
+    * Polygon.java]: even-odd ray casting as a pure Column fold over the
+    * polygon's edges (codegen — no UDF). Constant score ⇒ url-rank. */
+  def polygonTopK(latSql: String, lonSql: String,
+                  poly: Seq[(Double, Double)], k: Int): DataFrame =
+    constRankByDocId(
+      docsWithId.filter(graft.functions.Geo.pointInPolygon(
+          expr(latSql), expr(lonSql), poly))
+        .select(col("docId"), col("doc_id")), k)
+
   /** Cross-index join — `{!join fromIndex=A}q` [U lucene/join/.../
     * JoinUtil.java#createJoinQuery, solr JoinQParserPlugin]: hits of
     * `term` on THIS index, filtered to docs matching `fromTerm` on
@@ -563,6 +590,38 @@ final class RelationalPath(idx: graft.index.IndexView) {
           if (Spans.containing(iv, sm).nonEmpty) Iterator.single(docId)
           else Iterator.empty
         } else Iterator.empty
+      }
+      .toDF("docId")
+    verified
+      .join(docsWithId.select("docId", "doc_id"), "docId")
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Generic interval-source query — docs (ascending doc_id) where the
+    * composed Intervals expression matches [U lucene/queries/.../
+    * intervals/Intervals.java — nested sources compose freely]. Same
+    * two-phase shape as intervalContainingDocs: docId pre-intersection
+    * on the source's REQUIRED terms (NOT_* reference terms excluded —
+    * their absence must not drop candidates), then position decode +
+    * the shared Spans.ISource kernel per candidate. */
+  def intervalSourceDocs(src: Spans.ISource): DataFrame = {
+    val required = src.requiredTerms.distinct
+    val all = src.allTerms.distinct
+    require(required.nonEmpty, s"interval source has no required terms: $src")
+    val cands = tfTable(required).toDF("term", "docId", "tf")
+      .groupBy("docId")
+      .agg(countDistinct("term").as("nt"))
+      .filter(col("nt") === required.length)
+      .select("docId")
+    val s = src
+    val verified = positionsTable(all).join(cands, "docId")
+      .select(col("docId").cast("long"), col("term"), col("pos"))
+      .as[(Long, String, Seq[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        val byTerm = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.foreach { case (_, t, p) => byTerm(t) = p.toArray }
+        if (s.eval(byTerm).nonEmpty) Iterator.single(docId) else Iterator.empty
       }
       .toDF("docId")
     verified

@@ -355,16 +355,54 @@ object SegmentScorer {
     }
 
     q match {
-      case BoolQ(must, should, Nil, Nil, mm)
+      case BoolQ(must, should, Nil, filt, mm)
         if must.isEmpty && should.nonEmpty && k > 0 && deleted.isEmpty &&
-          should.forall(_.isInstanceOf[TermQ]) =>
+          should.forall(_.isInstanceOf[TermQ]) &&
+          // filters demote to an O(1) bitmap accept only when mm ≥ 1:
+          // at mm = 0 a filter-only match (zero SHOULD hits, score 0)
+          // is legal and WAND's ≥1-should invariant would drop it
+          (filt.isEmpty || (mm >= 1 && filt.forall(_.isInstanceOf[PredQ]))) =>
         wandTopK(should.map(s => termScorer(s.asInstanceOf[TermQ].term, ctx, termBlocks)).toIndexedSeq,
-          math.max(mm, 1), k, accept)
+          math.max(mm, 1), k, predAccept(filt, predBits, accept))
+      // filtered single-term query keeps block-max skipping: pure-filter
+      // clauses (pre-built bitmaps — the warm filter cache or the docs
+      // cogroup) become an O(1) accept over the term iterator instead of
+      // demoting the whole query to the exhaustive BoolScorer
+      // [U …/search/IndexOrDocValuesQuery.java — filters execute as
+      // verification-only predicates over the lead iterator]. Skipping
+      // stays exact: accept only withholds heap insertions, so the
+      // threshold is always a realized top-k score of accepted docs and
+      // any skipped block could not have beaten it.
+      case BoolQ(Seq(TermQ(t)), Nil, Nil, filt, mm)
+        if k > 0 && deleted.isEmpty && mm <= 0 && filt.nonEmpty &&
+          filt.forall(_.isInstanceOf[PredQ]) =>
+        termTopK(termScorer(t, ctx, termBlocks), k,
+          predAccept(filt, predBits, accept))
       case TermQ(_) if k > 0 && deleted.isEmpty =>
         termTopK(scorer.asInstanceOf[TermScorer], k, accept)
       case _ => exhaustive(scorer, k, accept)
     }
   }
+
+  /** Compose `accept` with pure-filter bitmap membership tests. A PredQ
+    * beyond `predBits` matches nothing (the segment delivered no docs
+    * rows for it), mirroring compile's EmptyScorer. */
+  private def predAccept(filt: Seq[Query],
+                         predBits: IndexedSeq[(java.util.BitSet, Long)],
+                         accept: (Long, Float) => Boolean): (Long, Float) => Boolean =
+    if (filt.isEmpty) accept
+    else {
+      val tests: Array[Long => Boolean] = filt.map {
+        case PredQ(i) if i < predBits.length =>
+          val (bits, base) = predBits(i)
+          (d: Long) => {
+            val off = d - base
+            off >= 0 && off < Int.MaxValue && bits.get(off.toInt)
+          }
+        case _ => (_: Long) => false
+      }.toArray
+      (d: Long, s: Float) => accept(d, s) && tests.forall(_(d))
+    }
 
   private def termScorer(t: String, ctx: ScoringContext,
                          blocks: Map[String, IndexedSeq[Block]]): TermScorer =

@@ -92,6 +92,181 @@ object Spans {
     small.filter { case (ss, se) =>
       !big.exists { case (bs, be) => bs <= ss && se <= be } }
 
+  /** Generic minimality filter: keep intervals that contain no other
+    * interval (the Lucene minimal-interval contract every source
+    * returns). O(n²) on the per-doc interval count — small. Output
+    * ascending by start (and therefore by end: a minimal set has
+    * strictly ascending starts AND ends). */
+  private[search] def minimalOnly(raw: Array[(Int, Int)]): Array[(Int, Int)] = {
+    val d = raw.distinct
+    d.filter { case (s, e) =>
+      !d.exists { case (s2, e2) => (s2, e2) != ((s, e)) && s <= s2 && e2 <= e }
+    }.sortBy(_._1)
+  }
+
+  /** Minimal ORDERED intervals over SUB-INTERVAL lists — the
+    * generalization of `orderedIntervals` to nested sources
+    * [U lucene/queries/.../intervals/OrderedIntervalsSource.java]: the
+    * clauses' intervals must follow each other disjointly (next start >
+    * previous end); greedy completion per anchor (each next clause
+    * takes its first interval starting after the previous end — in a
+    * minimal list that is also the one with the smallest end), then the
+    * minimality filter. Inputs must be minimal lists (ascending starts
+    * and ends), as every source here returns. */
+  def orderedAlg(subs: IndexedSeq[Array[(Int, Int)]]): Array[(Int, Int)] = {
+    if (subs.isEmpty || subs.exists(_.isEmpty)) return Array.empty
+    if (subs.length == 1) return subs.head
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    subs(0).foreach { case (s1, e1) =>
+      var cur = e1
+      var ok = true
+      var i = 1
+      while (ok && i < subs.length) {
+        val nxt = subs(i).indexWhere(_._1 > cur)
+        if (nxt < 0) ok = false else cur = subs(i)(nxt)._2
+        i += 1
+      }
+      if (ok) raw += ((s1, cur))
+    }
+    minimalOnly(raw.toArray)
+  }
+
+  /** Minimal UNORDERED intervals over sub-interval lists
+    * [U lucene/queries/.../intervals/UnorderedIntervalsSource.java —
+    * Intervals#unordered: clauses may appear in any order and may
+    * overlap]: the Lucene iterator shape — one cursor per clause,
+    * candidate window = [min start, max end] over the cursors, always
+    * advance the min-start clause — then the minimality filter.
+    * Verified against brute-force assignment enumeration in
+    * IntervalsSpec. */
+  def unorderedAlg(subs: IndexedSeq[Array[(Int, Int)]]): Array[(Int, Int)] = {
+    if (subs.isEmpty || subs.exists(_.isEmpty)) return Array.empty
+    if (subs.length == 1) return subs.head
+    val idxs = new Array[Int](subs.length)
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var done = false
+    while (!done) {
+      var minS = Int.MaxValue
+      var maxE = Int.MinValue
+      var minC = -1
+      var c = 0
+      while (c < subs.length) {
+        val (s, e) = subs(c)(idxs(c))
+        if (s < minS) { minS = s; minC = c }
+        if (e > maxE) maxE = e
+        c += 1
+      }
+      raw += ((minS, maxE))
+      idxs(minC) += 1
+      if (idxs(minC) >= subs(minC).length) done = true
+    }
+    minimalOnly(raw.toArray)
+  }
+
+  /** OVERLAPPING combinator [U …/intervals/Intervals#overlapping]: the
+    * `src` intervals overlapping at least one `ref` interval. */
+  def overlapping(src: Array[(Int, Int)],
+                  ref: Array[(Int, Int)]): Array[(Int, Int)] =
+    src.filter { case (s, e) =>
+      ref.exists { case (rs, re) => s <= re && rs <= e } }
+
+  /** EXTENDING [U …/intervals/Intervals#extend]: each interval widened
+    * by `before`/`after` positions (start clipped at 0). Lucene does
+    * not re-minimalize extended intervals; neither do we. */
+  def extend(src: Array[(Int, Int)], before: Int, after: Int): Array[(Int, Int)] =
+    src.map { case (s, e) => (math.max(0, s - before), e + after) }
+
+  /** Composable interval sources — the Intervals.* expression tree
+    * [U lucene/queries/.../intervals/Intervals.java], evaluated per doc
+    * against its term→positions map by the shared kernel above. Nested
+    * sources (intervals of intervals) compose freely: every node both
+    * consumes and produces minimal (start, end) lists, except EXTEND
+    * (non-minimal by design, as in the reference). */
+  sealed trait ISource {
+    /** Terms whose PRESENCE the source requires to match — the docId
+      * pre-intersection set (NOT_* reference terms are excluded: their
+      * absence must not drop candidates). */
+    def requiredTerms: Seq[String]
+    /** Every term the evaluation reads (for position fetch). */
+    def allTerms: Seq[String]
+    /** Leaf-term OCCURRENCE count — the match length a gap computation
+      * subtracts (duplicated terms count twice, unlike allTerms). */
+    def matchLen: Int
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)]
+  }
+  final case class ITerm(t: String) extends ISource {
+    def matchLen: Int = 1
+    def requiredTerms: Seq[String] = Seq(t)
+    def allTerms: Seq[String] = Seq(t)
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)] =
+      posOf.get(t).map(_.map(p => (p, p))).getOrElse(Array.empty)
+  }
+  final case class IOrdered(subs: Seq[ISource]) extends ISource {
+    def matchLen: Int = subs.map(_.matchLen).sum
+    def requiredTerms: Seq[String] = subs.flatMap(_.requiredTerms).distinct
+    def allTerms: Seq[String] = subs.flatMap(_.allTerms).distinct
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)] =
+      orderedAlg(subs.map(_.eval(posOf)).toIndexedSeq)
+  }
+  final case class IUnordered(subs: Seq[ISource]) extends ISource {
+    def matchLen: Int = subs.map(_.matchLen).sum
+    def requiredTerms: Seq[String] = subs.flatMap(_.requiredTerms).distinct
+    def allTerms: Seq[String] = subs.flatMap(_.allTerms).distinct
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)] =
+      unorderedAlg(subs.map(_.eval(posOf)).toIndexedSeq)
+  }
+  /** gaps = width − leaf-term count (exact for ordered point sources —
+    * the reference's IntervalIterator.gaps() for the same shapes). */
+  final case class IMaxgaps(g: Int, sub: ISource) extends ISource {
+    def matchLen: Int = sub.matchLen
+    def requiredTerms: Seq[String] = sub.requiredTerms
+    def allTerms: Seq[String] = sub.allTerms
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)] =
+      maxgaps(sub.eval(posOf), sub.matchLen max 1, g)
+  }
+  final case class IContaining(big: ISource, small: ISource) extends ISource {
+    def matchLen: Int = big.matchLen
+    def requiredTerms: Seq[String] = (big.requiredTerms ++ small.requiredTerms).distinct
+    def allTerms: Seq[String] = (big.allTerms ++ small.allTerms).distinct
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)] =
+      containing(big.eval(posOf), small.eval(posOf))
+  }
+  final case class IWithin(small: ISource, big: ISource) extends ISource {
+    def matchLen: Int = small.matchLen
+    def requiredTerms: Seq[String] = (small.requiredTerms ++ big.requiredTerms).distinct
+    def allTerms: Seq[String] = (small.allTerms ++ big.allTerms).distinct
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)] =
+      within(small.eval(posOf), big.eval(posOf))
+  }
+  final case class INotContaining(big: ISource, small: ISource) extends ISource {
+    def matchLen: Int = big.matchLen
+    def requiredTerms: Seq[String] = big.requiredTerms
+    def allTerms: Seq[String] = (big.allTerms ++ small.allTerms).distinct
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)] =
+      notContaining(big.eval(posOf), small.eval(posOf))
+  }
+  final case class INotWithin(small: ISource, big: ISource) extends ISource {
+    def matchLen: Int = small.matchLen
+    def requiredTerms: Seq[String] = small.requiredTerms
+    def allTerms: Seq[String] = (small.allTerms ++ big.allTerms).distinct
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)] =
+      notWithin(small.eval(posOf), big.eval(posOf))
+  }
+  final case class IOverlapping(src: ISource, ref: ISource) extends ISource {
+    def matchLen: Int = src.matchLen
+    def requiredTerms: Seq[String] = (src.requiredTerms ++ ref.requiredTerms).distinct
+    def allTerms: Seq[String] = (src.allTerms ++ ref.allTerms).distinct
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)] =
+      overlapping(src.eval(posOf), ref.eval(posOf))
+  }
+  final case class IExtend(sub: ISource, before: Int, after: Int) extends ISource {
+    def matchLen: Int = sub.matchLen
+    def requiredTerms: Seq[String] = sub.requiredTerms
+    def allTerms: Seq[String] = sub.allTerms
+    def eval(posOf: collection.Map[String, Array[Int]]): Array[(Int, Int)] =
+      extend(sub.eval(posOf), before, after)
+  }
+
   /** freq of the near-window match; 0 = no match. Position arrays must
     * be ascending (they are: token indexes). */
   def spanFreq(posLists: IndexedSeq[Array[Int]], slop: Int,

@@ -46,13 +46,29 @@ object Suggest {
     * lookups prune with the same shape spellcheck uses on the term
     * dictionary. */
   def buildSuggestIndex(entries: DataFrame, dir: String,
-                        minGram: Int = 1, maxGram: Int = 8): Unit = {
-    val grams = entries
-      .select(col("term"), col("weight").cast("long").as("weight"))
-      .withColumn("gram", explode(
-        graft.analysis.Analysis.edgeNgramsCol(array(col("term")), minGram, maxGram)))
+                        minGram: Int = 1, maxGram: Int = 8,
+                        infix: Boolean = false): Unit = {
+    val base = entries.select(col("term"), col("weight").cast("long").as("weight"))
+    // infix mode — the TRUE AnalyzingInfixSuggester shape
+    // [U lucene/suggest/.../analyzing/AnalyzingInfixSuggester.java —
+    // indexes grams at EVERY position so "park" surfaces "spark..."]:
+    // all-position char n-grams, deduped to one row per (gram, term),
+    // with an `edge` flag (gram occurs at position 0) so lookups can
+    // rank prefix matches ahead of infix matches (the blended sort).
+    // O(dict × len × gramSizes) rows — ~len× the edge build, the same
+    // trade the reference makes (it indexes the whole suggestion text).
+    val grams =
+      if (infix)
+        base.withColumn("gram", explode(
+          graft.analysis.Analysis.charNgramsCol(array(col("term")), minGram, maxGram)))
+          .groupBy("gram", "term").agg(max("weight").as("weight"))
+          .withColumn("edge", col("term").startsWith(col("gram")))
+      else
+        base.withColumn("gram", explode(
+          graft.analysis.Analysis.edgeNgramsCol(array(col("term")), minGram, maxGram)))
+          .withColumn("edge", lit(true))
     graft.index.TermFilters
-      .withFilterCols(grams.select("gram", "term", "weight"),
+      .withFilterCols(grams.select("gram", "term", "weight", "edge"),
         src = "gram", lenCol = "glen", maskCol = "gmask")
       .repartitionByRange(8, col("gram"))
       .sortWithinPartitions("gram", "term")
@@ -63,7 +79,8 @@ object Suggest {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "_gram_meta.json"),
       graft.util.Json.write(scala.collection.immutable.ListMap[String, Any](
-        "minGram" -> minGram.toLong, "maxGram" -> maxGram.toLong)))
+        "minGram" -> minGram.toLong, "maxGram" -> maxGram.toLong,
+        "infix" -> (if (infix) 1L else 0L))))
   }
 
   /** Autocomplete from the ngram suggest index: equality on the gram
@@ -97,6 +114,45 @@ object Suggest {
     hits.select(col("term"), col("weight").as("df"))
       .orderBy(desc("df"), asc("term"))
       .limit(k)
+  }
+
+  /** Infix lookup from an infix `buildSuggestIndex` table: suggestions
+    * containing the query at ANY position (equality on the
+    * all-position gram column — the same pushdown-able point predicate
+    * as the edge lookup), ranked edge-first then weight — prefix
+    * matches beat infix matches at any weight, the
+    * AnalyzingInfixSuggester blended-sort shape [U lucene/suggest/
+    * .../analyzing/AnalyzingInfixSuggester.java lookup highlighted
+    * prefix ordering]. */
+  def suggestInfix(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   q: String, k: Int = 10): DataFrame = {
+    val m = graft.util.Json.obj(graft.util.Json.parse(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_gram_meta.json"))))
+    val minG = graft.util.Json.long(m("minGram")).toInt
+    val maxG = graft.util.Json.long(m("maxGram")).toInt
+    require(m.get("infix").exists(graft.util.Json.long(_) == 1L),
+      s"suggestInfix needs an infix build (buildSuggestIndex infix=true): $dir")
+    val table = spark.read.parquet(dir)
+    val hits =
+      if (q.length < minG)
+        // every position's minGram-length gram is indexed: a shorter
+        // query is a prefix predicate on those (range-pushdown-able)
+        table.filter(length(col("gram")) === minG &&
+          col("gram").startsWith(q))
+      else {
+        val g = q.substring(0, math.min(q.length, maxG))
+        val base = table.filter(col("gram") === g)
+        // residual for queries past the gram cap: true containment
+        if (q.length <= maxG) base else base.filter(col("term").contains(q))
+      }
+    // a term can match via several gram positions when q < minGram:
+    // collapse to its best (edge-first) row
+    hits.groupBy("term")
+      .agg(max("weight").as("weight"), max("edge").as("edge"))
+      .orderBy(desc("edge"), desc("weight"), asc("term"))
+      .limit(k)
+      .select(col("term"), col("weight"), col("edge"))
   }
 
   /** Weighted lookup from a `buildSuggestIndex` table — identical

@@ -262,6 +262,43 @@ class PipelineSpec extends SparkSpec {
     assert(TextStats.langIdOf("") === "und")
   }
 
+  test("multimodal decode: crafted PNG/GIF/JPEG headers decode byte-exactly") {
+    // PNG: signature + IHDR, 640×480, color type 6 (RGBA)
+    val png = Array[Int](
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R',     // IHDR chunk
+      0x00, 0x00, 0x02, 0x80,                         // width 640
+      0x00, 0x00, 0x01, 0xE0,                         // height 480
+      0x08, 0x06                                      // bit depth 8, color 6
+    ).map(_.toByte)
+    assert(MultiModal.decodeImageMeta(png) ===
+      Some(MultiModal.ImageMeta("png", 640, 480, 6)))
+    // GIF89a: 320×200, packed flags 0xF7 → color depth (7&7)+1 = 8
+    val gif = ("GIF89a".getBytes("ASCII") ++ Array[Int](
+      0x40, 0x01, // width 320 LE
+      0xC8, 0x00, // height 200 LE
+      0xF7, 0x00, 0x00).map(_.toByte))
+    assert(MultiModal.decodeImageMeta(gif) ===
+      Some(MultiModal.ImageMeta("gif", 320, 200, 8)))
+    // JPEG: SOI, APP0 (skipped via its length), SOF0 1024×768, 3 comps
+    val jpg = Array[Int](
+      0xFF, 0xD8,                                     // SOI
+      0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00,             // APP0 len 4
+      0xFF, 0xC0, 0x00, 0x11, 0x08,                   // SOF0 len 17, prec 8
+      0x03, 0x00,                                     // height 768 BE
+      0x04, 0x00,                                     // width 1024 BE
+      0x03                                            // 3 components
+    ).map(_.toByte)
+    assert(MultiModal.decodeImageMeta(jpg) ===
+      Some(MultiModal.ImageMeta("jpeg", 1024, 768, 3)))
+    // non-images decode to None (the corpus html payloads)
+    assert(MultiModal.decodeImageMeta("plain text".getBytes) === None)
+    assert(MultiModal.decodeImageMeta(Array.empty[Byte]) === None)
+    // byte histogram: exact fractions, bins by value range
+    val h = MultiModal.byteHistogram(Array[Int](0, 0, 64, 255).map(_.toByte), 4)
+    assert(h.toSeq === Seq(0.5f, 0.25f, 0f, 0.25f))
+  }
+
   test("multimodal plumbing: deterministic features over binary column") {
     import spark.implicits._
     val media = MultiModal.mediaFromPages(spark, "/root/testdata/sf0.001").limit(20)

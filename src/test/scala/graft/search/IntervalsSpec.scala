@@ -59,6 +59,92 @@ class IntervalsSpec extends AnyFunSuite {
     }
   }
 
+  /** Random minimal interval list (ascending starts and ends, no
+    * nesting) — the contract every source output satisfies. */
+  private def randMinimal(rnd: Random, maxLen: Int, bound: Int): Array[(Int, Int)] = {
+    val raw = Array.fill(1 + rnd.nextInt(maxLen))(
+      (rnd.nextInt(bound), rnd.nextInt(6))).map { case (s, w) => (s, s + w) }
+    val d = raw.distinct
+    d.filter { case (s, e) =>
+      !d.exists { case (s2, e2) => (s2, e2) != ((s, e)) && s <= s2 && e2 <= e }
+    }.sortBy(_._1)
+  }
+
+  private def minimalSet(ws: Set[(Int, Int)]): Set[(Int, Int)] =
+    ws.filter { case (s, e) =>
+      !ws.exists { case (s2, e2) => (s2, e2) != ((s, e)) && s <= s2 && e2 <= e } }
+
+  test("unorderedAlg == brute-force minimal covering windows (randomized)") {
+    val rnd = new Random(9090L)
+    (1 to 400).foreach { trial =>
+      val k = 1 + rnd.nextInt(3)
+      val subs = IndexedSeq.fill(k)(randMinimal(rnd, 5, 25))
+      // brute force: every assignment of one interval per clause covers
+      // [min start, max end]; keep the minimal windows
+      var windows = Set.empty[(Int, Int)]
+      def rec(i: Int, s: Int, e: Int): Unit =
+        if (i == k) windows += ((s, e))
+        else subs(i).foreach { case (is, ie) =>
+          rec(i + 1, math.min(s, is), math.max(e, ie)) }
+      rec(0, Int.MaxValue, Int.MinValue)
+      val want = minimalSet(windows)
+      val got = Spans.unorderedAlg(subs).toSet
+      assert(got === want, s"trial $trial subs=${subs.map(_.toSeq)}")
+    }
+  }
+
+  test("orderedAlg == brute-force minimal ordered windows over sub-intervals") {
+    val rnd = new Random(5151L)
+    (1 to 400).foreach { trial =>
+      val k = 1 + rnd.nextInt(3)
+      val subs = IndexedSeq.fill(k)(randMinimal(rnd, 5, 25))
+      var windows = Set.empty[(Int, Int)]
+      def rec(i: Int, prevEnd: Int, start: Int): Unit =
+        if (i == k) windows += ((start, prevEnd))
+        else subs(i).foreach { case (is, ie) =>
+          if (i == 0) rec(1, ie, is)
+          else if (is > prevEnd) rec(i + 1, ie, start) }
+      rec(0, Int.MinValue, 0)
+      val want = minimalSet(windows)
+      val got = Spans.orderedAlg(subs).toSet
+      assert(got === want, s"trial $trial subs=${subs.map(_.toSeq)}")
+    }
+  }
+
+  test("orderedAlg on point lists == orderedIntervals (kernel coherence)") {
+    val rnd = new Random(31337L)
+    (1 to 200).foreach { _ =>
+      val lists = IndexedSeq.fill(1 + rnd.nextInt(3)) {
+        Array.fill(1 + rnd.nextInt(6))(rnd.nextInt(30)).distinct.sorted
+      }
+      assert(Spans.orderedAlg(lists.map(_.map(p => (p, p)))).toSeq ===
+        Spans.orderedIntervals(lists).toSeq)
+    }
+  }
+
+  test("overlapping / extend combinators + nested ISource composition") {
+    val iv = Array((0, 3), (10, 12))
+    assert(Spans.overlapping(iv, Array((3, 5))).toSeq === Seq((0, 3)))
+    assert(Spans.overlapping(iv, Array((4, 9))).toSeq === Seq.empty)
+    assert(Spans.overlapping(iv, Array((12, 20))).toSeq === Seq((10, 12)))
+    assert(Spans.extend(Array((1, 2), (5, 6)), 2, 1).toSeq ===
+      Seq((0, 3), (3, 7))) // start clipped at 0
+    // nested: ordered(unordered(a, b), c) over a positions map
+    import Spans._
+    val posOf = scala.collection.mutable.HashMap(
+      "a" -> Array(0, 9), "b" -> Array(2, 7), "c" -> Array(4, 11))
+    val un = IUnordered(Seq(ITerm("a"), ITerm("b")))
+    assert(un.eval(posOf).toSeq === Seq((0, 2), (7, 9)))
+    val nested = IOrdered(Seq(un, ITerm("c")))
+    assert(nested.eval(posOf).toSeq === Seq((0, 2, 4), (7, 9, 11)).map {
+      case (s, _, e) => (s, e) })
+    // NOT_* required-terms: the reference side is not required
+    assert(INotContaining(un, ITerm("zzz")).requiredTerms.toSet === Set("a", "b"))
+    assert(INotContaining(un, ITerm("zzz")).eval(posOf).toSeq === un.eval(posOf).toSeq)
+    // matchLen counts occurrences, not distinct terms
+    assert(IOrdered(Seq(ITerm("a"), ITerm("a"))).matchLen === 2)
+  }
+
   test("maxgaps / containing / within combinators: set-algebra definitions") {
     // clause positions: a at 0,10; b at 3,12 → ordered intervals
     // (0,3), (10,12)
