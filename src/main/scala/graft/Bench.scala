@@ -129,6 +129,16 @@ object Bench {
     import spark.implicits._
     val corpusDir = stageCorpus(spark, sfDir, repeat,
       new java.io.File(dir).getParent)
+    // untimed JVM/session warm-up: the first jobs of a fresh JVM pay
+    // one-time whole-stage-codegen compilation, vectorized parquet
+    // reader class-init and shuffle-system setup (~2 s measured,
+    // IDENTICAL at every width — a pure Amdahl tax on the N→4N ratio
+    // that a steady-state cluster never pays per-build). Touch the
+    // scan, shuffle and write paths once with O(1) data before t0.
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(corpusDir).limit(64).count()
+    spark.range(0, 256, 1, 4).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(4, col("k")).groupBy("k").count().count()
     val pages = spark.read.parquet(corpusDir).as[graft.model.Page]
     val t0 = System.nanoTime()
     val idx = IndexBuilder.build(spark, pages, dir,

@@ -145,12 +145,13 @@ object Ann {
     * bounds per-task work instead of going quadratic in one task. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double,
                      dim: Int, numPlanes: Int = 6,
-                     bucketCap: Int = 1024): DataFrame = {
+                     bucketCap: Int = 1024,
+                     sorted: Boolean = false): DataFrame = {
     val e = embeddings.withColumn("bucket", srpBucket(col("embedding"), numPlanes, dim))
     Skew.boundedSelfJoinPairs(e, Seq("bucket"), "vec_id", bucketCap, "cosine")
       .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"), col("cos"))
-      .orderBy("a", "b")
+      .transform(d => if (sorted) d.orderBy("a", "b") else d)
   }
 }

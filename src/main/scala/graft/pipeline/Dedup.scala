@@ -107,11 +107,15 @@ object Dedup {
   /** LSH candidate pairs + exact-Jaccard verification:
     * band the signature, bucket-join equal bands, then verify candidate
     * pairs against exact shingle-set Jaccard ≥ threshold.
-    * Returns (a, b, jaccard) with a < b. */
+    * Returns (a, b, jaccard) with a < b — an UNORDERED pair set
+    * (relational semantics); pass `sorted=true` only for small outputs
+    * where a reproducible listing matters, since at corpus scale the
+    * global sort is a full extra shuffle of every surviving pair. */
   def minhashNearDups(documents: DataFrame, numHashes: Int = 64,
                       bands: Int = 16, shingleSize: Int = 3,
                       threshold: Double = 0.8,
-                      bucketCap: Int = 1024): DataFrame = {
+                      bucketCap: Int = 1024,
+                      sorted: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(documents, numHashes, shingleSize)
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
@@ -135,7 +139,7 @@ object Dedup {
         col("inter") / (size(col("shA")) + size(col("shB")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-      .orderBy("a", "b")
+      .transform(d => if (sorted) d.orderBy("a", "b") else d)
   }
 
   // ---------- SimHash ----------
@@ -169,7 +173,8 @@ object Dedup {
     * distances need multi-table permuted SimHash, not narrower bands —
     * 1-bit bands would bucket the universe together). */
   def simhashNearDups(documents: DataFrame, maxDist: Int = 3,
-                      bucketCap: Int = 1024): DataFrame = {
+                      bucketCap: Int = 1024,
+                      sorted: Boolean = false): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist=$maxDist: band guarantee supported for 0..7 " +
         "(use simhashNearDupsWide for wider distances)")
@@ -193,7 +198,7 @@ object Dedup {
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
-      .orderBy("a", "b")
+      .transform(d => if (sorted) d.orderBy("a", "b") else d)
   }
 
   /** Multi-table permuted SimHash for WIDE Hamming distances (the
@@ -215,7 +220,8 @@ object Dedup {
     * against bucketCap. */
   def simhashNearDupsWide(documents: DataFrame, maxDist: Int,
                           numBlocks: Int = 10,
-                          bucketCap: Int = 1024): DataFrame = {
+                          bucketCap: Int = 1024,
+                          sorted: Boolean = false): DataFrame = {
     require(maxDist >= 1 && maxDist < numBlocks && numBlocks <= 32,
       s"need 1 <= maxDist < numBlocks <= 32: maxDist=$maxDist numBlocks=$numBlocks")
     val keep = numBlocks - maxDist
@@ -250,7 +256,7 @@ object Dedup {
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
-      .orderBy("a", "b")
+      .transform(d => if (sorted) d.orderBy("a", "b") else d)
   }
 
   // ---------- exact n-gram Jaccard (verification oracle) ----------
@@ -258,7 +264,8 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard ≥ threshold via distinct-shingle
     * self-join (relational; DuckDB-checkable). */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        sorted: Boolean = false): DataFrame = {
     val sh = documents
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(shingleArrayCol(col("text"), n)).as("sh"))
@@ -275,7 +282,7 @@ object Dedup {
         col("inter").cast("double") / (col("szA") + col("szB") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b")
-      .orderBy("a", "b")
+      .transform(d => if (sorted) d.orderBy("a", "b") else d)
   }
 
   /** Word n-gram shingle array as a pure Column expression (built-ins

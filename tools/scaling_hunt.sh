@@ -9,10 +9,15 @@ OUT=${OUT:-/tmp/scaling_hunt.jsonl}
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 JAVA=/usr/lib/jvm/java-17-openjdk-amd64/bin/java
-PAIRS=${PAIRS:-"832 28"}   # alternate 8->32 and 2->8
+PAIRS=${PAIRS:-"28 832"}   # 2->8 (the contract pair) first, then 8->32
 MIN_CPU=${MIN_CPU:-0.95}   # pure-CPU 32v8 per-4x must be near-ideal (clean ~1.02)
 MIN_MEM=${MIN_MEM:-0.50}   # bandwidth per-4x; clean windows measure 0.55-0.67
+# ABSOLUTE bandwidth floor: external steal often depresses BOTH widths
+# proportionally, so the ratio gate alone passes a dirty window; clean
+# windows measure mem32 ~6600, steal episodes ~4100-4400
+MIN_MEM32=${MIN_MEM32:-5200}
 REPS=${REPS:-2}            # best-of-N per width inside the pair
+REPEAT=${REPEAT:-2048}     # corpus scale: docs = 5000 * REPEAT
 SLEEP=${SLEEP:-180}
 BENCH_LOCK=/tmp/graft_bench.lock
 PAIR_LOCK=/tmp/graft_hunt_pair.lock
@@ -37,14 +42,15 @@ while true; do
   fi
   cpu=$(echo "$probe" | grep -o '"cpuRatio":[0-9.]*' | cut -d: -f2)
   mem=$(echo "$probe" | grep -o '"memRatio":[0-9.]*' | cut -d: -f2)
-  if [ -n "${cpu:-}" ] && [ -n "${mem:-}" ] && \
-     python3 -c "import sys; sys.exit(0 if float('$cpu')>=$MIN_CPU and float('$mem')>=$MIN_MEM else 1)"; then
+  mem32=$(echo "$probe" | grep -o '"mem32":[0-9.]*' | cut -d: -f2)
+  if [ -n "${cpu:-}" ] && [ -n "${mem:-}" ] && [ -n "${mem32:-}" ] && \
+     python3 -c "import sys; sys.exit(0 if float('$cpu')>=$MIN_CPU and float('$mem')>=$MIN_MEM and float('$mem32')>=$MIN_MEM32 else 1)"; then
     for p in $PAIRS; do
       if bench_running; then break; fi
       if [ "$p" = "832" ]; then FROM=8; TO=32; else FROM=2; TO=8; fi
       rm -rf /dev/shm/graftbench/idx/scale$FROM /dev/shm/graftbench/idx/scale$TO
       touch "$PAIR_LOCK"
-      line=$(SPARK_GRAFT_SCALING=1 SPARK_GRAFT_REPEAT=2048 \
+      line=$(SPARK_GRAFT_SCALING=1 SPARK_GRAFT_REPEAT=$REPEAT \
         SPARK_GRAFT_SCALE_FROM=$FROM SPARK_GRAFT_SCALE_TO=$TO \
         SPARK_GRAFT_SCALE_REPS=$REPS SPARK_GRAFT_SPECULATION=false \
         SPARK_GRAFT_INPUT_ORDERED=${SPARK_GRAFT_INPUT_ORDERED:-1} \
