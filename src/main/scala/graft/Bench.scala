@@ -319,12 +319,24 @@ object Bench {
       // best-of-N per size: the host has episodic CPU-steal interference
       // windows (minutes long); min wall-clock per size is the standard
       // estimator of the uncontended time, and the per-child calibration
-      // exposes any still-contended round
+      // exposes any still-contended round. Reps are INTERLEAVED
+      // (hi, lo, hi, lo, …): with all same-width reps back-to-back, one
+      // multi-minute steal spike sinks every sample of that width and
+      // the pair silently reports a contaminated ratio (observed: the
+      // same 8-wide build 43 s inside one pair, 29 s three minutes
+      // later in the next) — interleaving gives each width a sample in
+      // every sub-window
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-      val hiRuns = (1 to reps).map(_ => forkedBuild(nHi, repeat, benchRoot, sfDir))
-      val loRuns = (1 to reps).map(_ => forkedBuild(nLo, repeat, benchRoot, sfDir))
-      val (tHi, n, hwHi, memHi) = hiRuns.minBy(_._1)
-      val (tLo, _, hwLo, memLo) = loRuns.minBy(_._1)
+      val hiBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Double, Double)]
+      val loBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Double, Double)]
+      (1 to reps).foreach { _ =>
+        hiBuf += forkedBuild(nHi, repeat, benchRoot, sfDir)
+        loBuf += forkedBuild(nLo, repeat, benchRoot, sfDir)
+      }
+      val (tHi, n, hwHi, memHi) = hiBuf.minBy(_._1)
+      val (tLo, _, hwLo, memLo) = loBuf.minBy(_._1)
+      val rawHi = hiBuf.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
+      val rawLo = loBuf.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
       val factor = nHi.toDouble / nLo
       val eff = (tLo / tHi) / factor
       val hwCeiling = (hwHi / hwLo) / factor
@@ -334,7 +346,7 @@ object Bench {
       val memCeiling = if (memLo > 0) (memHi / memLo) / factor else 0.0
       val mode = if (sys.env.getOrElse("SPARK_GRAFT_INPUT_ORDERED", "0") == "1")
         "inputOrdered" else "sorted"
-      println(f"""{"metric":"scaling","value":$eff%.4f,"unit":"efficiency","mode":"$mode","docs":$n,"tLo":$tLo%.2f,"tHi":$tHi%.2f,"cpusLo":$nLo,"cpusHi":$nHi,"docsPerSecLo":${n / tLo}%.1f,"docsPerSecHi":${n / tHi}%.1f,"hwCeiling":$hwCeiling%.4f,"effVsHw":${eff / hwCeiling}%.4f,"hwMemCeiling":$memCeiling%.4f,"effVsMem":${if (memCeiling > 0) eff / memCeiling else 0.0}%.4f,"repeat":$repeat,"sf":"$sfDir"}""")
+      println(f"""{"metric":"scaling","value":$eff%.4f,"unit":"efficiency","mode":"$mode","docs":$n,"tLo":$tLo%.2f,"tHi":$tHi%.2f,"tLoRuns":$rawLo,"tHiRuns":$rawHi,"cpusLo":$nLo,"cpusHi":$nHi,"docsPerSecLo":${n / tLo}%.1f,"docsPerSecHi":${n / tHi}%.1f,"hwCeiling":$hwCeiling%.4f,"effVsHw":${eff / hwCeiling}%.4f,"hwMemCeiling":$memCeiling%.4f,"effVsMem":${if (memCeiling > 0) eff / memCeiling else 0.0}%.4f,"repeat":$repeat,"sf":"$sfDir"}""")
       return
     }
 
@@ -349,9 +361,14 @@ object Bench {
     // and carries both calibrations so contamination is self-evident.
     val minCpuR = sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_RATIO", "0.90").toDouble
     val minMemR = sys.env.getOrElse("SPARK_GRAFT_MIN_MEM_RATIO", "0.50").toDouble
-    // clean windows measure memCalibration(32) ≈ 6600 passes/s on this
-    // host; documented steal episodes depress it to ~4100–4400
-    val minMem32 = sys.env.getOrElse("SPARK_GRAFT_MIN_MEM32", "5200").toDouble
+    // absolute bandwidth floor, re-baselined per session: earlier
+    // sessions measured memCalibration(32) ≈ 6600 passes/s idle; the
+    // 2026-08-18/19 host delivers ≈ 4900–5100 idle with steal episodes
+    // at ≤ 4400 — the floor must sit between the CURRENT host's idle
+    // band and its steal band, not a historical one (a floor above
+    // today's idle baseline makes every window read dirty and the gate
+    // useless)
+    val minMem32 = sys.env.getOrElse("SPARK_GRAFT_MIN_MEM32", "4600").toDouble
     val calRetries = sys.env.getOrElse("SPARK_GRAFT_CAL_RETRIES", "10").toInt
     val calSleepMs = sys.env.getOrElse("SPARK_GRAFT_CAL_SLEEP_SEC", "60").toLong * 1000
     val benchLock = Paths.get("/tmp/graft_bench.lock")

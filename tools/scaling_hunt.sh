@@ -13,9 +13,10 @@ PAIRS=${PAIRS:-"28 832"}   # 2->8 (the contract pair) first, then 8->32
 MIN_CPU=${MIN_CPU:-0.95}   # pure-CPU 32v8 per-4x must be near-ideal (clean ~1.02)
 MIN_MEM=${MIN_MEM:-0.50}   # bandwidth per-4x; clean windows measure 0.55-0.67
 # ABSOLUTE bandwidth floor: external steal often depresses BOTH widths
-# proportionally, so the ratio gate alone passes a dirty window; clean
-# windows measure mem32 ~6600, steal episodes ~4100-4400
-MIN_MEM32=${MIN_MEM32:-5200}
+# proportionally, so the ratio gate alone passes a dirty window. Set it
+# between the CURRENT host's idle band and its steal band (2026-08-19:
+# idle ~4900-5100, steal <=4400; earlier sessions idled at ~6600)
+MIN_MEM32=${MIN_MEM32:-4600}
 REPS=${REPS:-2}            # best-of-N per width inside the pair
 REPEAT=${REPEAT:-2048}     # corpus scale: docs = 5000 * REPEAT
 SLEEP=${SLEEP:-180}
