@@ -140,13 +140,23 @@ object EDisMax {
       }.reduce(_ unionByName _)
 
     // DisMax per (doc, term) across fields (tiebreak folds the
-    // non-winning fields in at `tie` weight), then Boolean over terms
+    // non-winning fields in at `tie` weight), then Boolean over terms.
+    // Single-field qf (the common serving shape): the cross-field
+    // DisMax is the identity — scoredTf already emits exactly one row
+    // per (term, docId), so max-of-one ≡ the row and the groupBy would
+    // be a full shuffle of the widest frame for nothing; skip it.
     val tsCol =
       if (tie == 0.0) max("ws")
       else max("ws") + lit(tie) * (sum("ws") - max("ws"))
-    val perDoc = fieldScores(scoredTerms)
-      .groupBy("docId", "doc_id", "term")
-      .agg(tsCol.as("ts"))
+    val perTerm =
+      if (fields.length == 1)
+        fieldScores(scoredTerms)
+          .select(col("docId"), col("doc_id"), col("term"), col("ws").as("ts"))
+      else
+        fieldScores(scoredTerms)
+          .groupBy("docId", "doc_id", "term")
+          .agg(tsCol.as("ts"))
+    val perDoc = perTerm
       .withColumn("isMust", col("term").isin(p.must: _*))
       .groupBy("docId", "doc_id")
       .agg(sum("ts").as("s"),
@@ -204,7 +214,7 @@ object EDisMax {
         gramFields.zipWithIndex.map { case (idx, fi) =>
           val rel = new RelationalPath(idx)
           val mine = gramSeq.filter(_.field == idx)
-          val dfOf = rel.termDfs(mine.flatMap(_.gram).distinct)
+          val dfOf = dfLookup(idx, mine.flatMap(_.gram).distinct)
           val contents = mine.map(_.gram).distinct
             .filter(_.forall(dfOf.contains)).toIndexedSeq
           if (contents.nonEmpty) {
@@ -267,14 +277,8 @@ object EDisMax {
       // driver): every hit matches all must terms in some field /
       // at least one should term, so |hits| ≤ min over must of
       // Σ_fields df, else Σ over should of Σ_fields df.
-      val dfsByField: Seq[Map[String, Long]] = fields.map { case (idx, _) =>
-        idx match {
-          case inv: graft.index.InvertedIndex if inv.termDfMap().isDefined =>
-            val m = inv.termDfMap().get
-            scoredTerms.flatMap(t => m.get(t).map(t -> _)).toMap
-          case _ => new RelationalPath(idx).termDfs(scoredTerms)
-        }
-      }
+      val dfsByField: Seq[Map[String, Long]] =
+        fields.map { case (idx, _) => dfLookup(idx, scoredTerms) }
       def sumDf(t: String): Long = dfsByField.map(_.getOrElse(t, 0L)).sum
       val hitBound: Long =
         if (p.must.nonEmpty) p.must.map(sumDf).min
@@ -322,6 +326,18 @@ object EDisMax {
       .map { case ((_, id, _), i) => (i + 1, id) }
       .toDF("rank", "doc_id")
   }
+
+  /** Term dfs over one field: the warm driver-side dictionary when the
+    * index has one loaded (no Spark job — serving mode), else a bounded
+    * termStats collect. Terms absent from the field are absent from the
+    * map, matching `RelationalPath.termDfs`. */
+  private def dfLookup(idx: IndexView, terms: Seq[String]): Map[String, Long] =
+    idx match {
+      case inv: graft.index.InvertedIndex if inv.termDfMap().isDefined =>
+        val m = inv.termDfMap().get
+        terms.flatMap(t => m.get(t).map(t -> _)).toMap
+      case _ => new RelationalPath(idx).termDfs(terms)
+    }
 
   /** Hit-count cap for shipping candidate ids as a pushed isin
     * predicate into the bf feature scan; larger hit sets use the
