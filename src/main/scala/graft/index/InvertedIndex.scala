@@ -120,11 +120,15 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
     * web-scale deployment keeps the hot slice). Saves one Spark job per
     * query (the stats lookup). */
   @volatile private var statsMap: Option[Map[String, Long]] = None
+  @volatile private var statsOverCap: Boolean = false
   def termDfMap(maxTerms: Int = 1 << 20): Option[Map[String, Long]] = {
-    if (statsMap.isEmpty) {
+    // memoize the over-cap outcome too — without it every eligibility
+    // probe on a big index re-collects maxTerms+1 dictionary rows
+    if (statsMap.isEmpty && !statsOverCap) {
       val rows = termStats.select("term", "df").limit(maxTerms + 1).collect()
       if (rows.length <= maxTerms)
         statsMap = Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+      else statsOverCap = true
     }
     statsMap
   }
@@ -144,6 +148,34 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
 
   /** The url cache if warm() loaded it — never triggers a job. */
   def urlMapIfLoaded: Option[Map[Long, String]] = urlsMap
+
+  /** Driver-side norms cache for serving mode: docId → quantized doc
+    * length (dlq) — the in-RAM per-segment norms of a warm searcher
+    * [U lucene/core/.../codecs/lucene90/Lucene90NormsProducer.java:
+    * Lucene serves norms from memory-mapped .nvd, one byte per doc].
+    * Shipped to executors ONCE as a broadcast (`dlqBroadcast`) so
+    * scoring kernels can fold BM25 length normalization without a
+    * docs-table join. Same cap + on-demand shape as urlMap; a cluster
+    * deployment holds the same data as per-segment slices pinned on
+    * the executors. */
+  @volatile private var dlqsMap: Option[Map[Long, Int]] = None
+  def dlqMap(maxDocs: Long = 1L << 20): Option[Map[Long, Int]] = {
+    if (dlqsMap.isEmpty && stats.docCount <= maxDocs) {
+      val rows = docs.select("docId", "dlq").collect()
+      dlqsMap = Some(rows.map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    }
+    dlqsMap
+  }
+
+  /** The norms cache as a REUSABLE broadcast — one ship per searcher
+    * lifetime, not one per query (re-broadcasting a 10^6-entry map per
+    * query would put the serialization back on the hot path). */
+  @volatile private var dlqBc: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Int]]] = None
+  def dlqBroadcast(maxDocs: Long = 1L << 20): Option[org.apache.spark.broadcast.Broadcast[Map[Long, Int]]] = {
+    if (dlqBc.isEmpty)
+      dlqMap(maxDocs).foreach(m => dlqBc = Some(spark.sparkContext.broadcast(m)))
+    dlqBc
+  }
 
   /** Filter cache — the Solr filterCache / getDocSet analogue
     * [U solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java
@@ -179,6 +211,7 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
       p.count(); d.count(); t.count()
       cached = Some((p, d, t))
       urlMap() // serving mode: stored-fields lookup without a job
+      dlqMap() // serving mode: in-RAM norms for the scoring kernels
     }
     this
   }

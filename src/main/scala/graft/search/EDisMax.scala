@@ -131,6 +131,58 @@ object EDisMax {
     val scoredTerms = p.must ++ p.should
     require(scoredTerms.nonEmpty, "edismax needs at least one positive term")
 
+    // pf/pf2/pf3 shingles of the positional order, in the PINNED
+    // additive order (fields in list order, grams left→right, pf
+    // before pf2 before pf3) — shared by both execution plans below
+    final case class GramSpec(field: IndexView, boost: Double, gram: Seq[String])
+    val gramSeq: Seq[GramSpec] =
+      (if (p.positional.length >= 2)
+         pf.map { case (i, b) => GramSpec(i, b, p.positional) }
+       else Nil) ++
+      (if (p.positional.length >= 2)
+         pf2.flatMap { case (i, b) =>
+           p.positional.sliding(2).map(g => GramSpec(i, b, g)).toSeq }
+       else Nil) ++
+      (if (p.positional.length >= 3)
+         pf3.flatMap { case (i, b) =>
+           p.positional.sliding(3).map(g => GramSpec(i, b, g)).toSeq }
+       else Nil)
+
+    // ---- single-pass serving kernel ----
+    // Single-field qf with no boost function: the whole query — BM25
+    // term partials, must/mustNot/mm Boolean logic, pf/pf2/pf3 phrase
+    // tfs, bq additive boosts — folds per doc in ONE distributed pass
+    // over the query terms' postings: one position scan (a term's tf
+    // is its position count), one groupByKey(docId) shuffle, and NO
+    // docs-table join — length norms come from the warm in-RAM norms
+    // broadcast, the reference's serving shape (NormsProducer keeps
+    // one byte per doc in memory [U lucene/core/.../codecs/lucene90/
+    // Lucene90NormsProducer.java]; ExtendedDismaxQParser scores the
+    // same postings cursor once per segment). The general relational
+    // plan below chains 4 exchanges (scoredTf stats+docs joins, perDoc
+    // groupBy, phrase join) that AQE stages into ~8 jobs per query.
+    // Arithmetic is the same double-precision op sequence — gates
+    // ir_q30/36/39/41/46 hash-validate it against the SQL oracles, and
+    // EDisMaxSpec asserts kernel ≡ general plan. Falls through to the
+    // general plan when bf is present (arbitrary docs-table Column),
+    // the index has deletes, any phrase field is not the primary, or
+    // the corpus exceeds the norms-cache cap (2^20 docs — a cluster
+    // serves norms as executor-pinned per-segment slices instead).
+    val kernelPrimary: Option[graft.index.InvertedIndex] = fields match {
+      case Seq((inv: graft.index.InvertedIndex, _))
+        if bf.isEmpty && !inv.hasDeletes && gramSeq.forall(_.field eq inv) =>
+        Some(inv)
+      case _ => None
+    }
+    kernelPrimary.foreach { inv =>
+      (inv.termDfMap(), inv.dlqBroadcast(), inv.urlMap()) match {
+        case (Some(dfAll), Some(dlqB), Some(urls)) =>
+          return singlePassTopK(inv, fields.head._2, p, k,
+            gramSeq.map(g => (g.gram, g.boost)), bq, dfAll, dlqB, urls)
+        case _ => () // caches over cap: stay on the general plan
+      }
+    }
+
     // per-field per-(term, doc) boosted partials, unioned across fields
     def fieldScores(terms: Seq[String]): DataFrame =
       fields.map { case (idx, boost) =>
@@ -191,19 +243,6 @@ object EDisMax {
     // replaces: s ← s + boost·coalesce(sumIdf·(ptf/(ptf + 1.2·(0.25 +
     // 0.75·dlq/avgdl))), 0). A miss keeps the doc at +0.0 — pf never
     // adds or removes hits.
-    final case class GramSpec(field: IndexView, boost: Double, gram: Seq[String])
-    val gramSeq: Seq[GramSpec] =
-      (if (p.positional.length >= 2)
-         pf.map { case (i, b) => GramSpec(i, b, p.positional) }
-       else Nil) ++
-      (if (p.positional.length >= 2)
-         pf2.flatMap { case (i, b) =>
-           p.positional.sliding(2).map(g => GramSpec(i, b, g)).toSeq }
-       else Nil) ++
-      (if (p.positional.length >= 3)
-         pf3.flatMap { case (i, b) =>
-           p.positional.sliding(3).map(g => GramSpec(i, b, g)).toSeq }
-       else Nil)
     if (gramSeq.nonEmpty) {
       val gramFields = gramSeq.map(_.field).distinct
       // per distinct field: df lookup (one bounded collect), active
@@ -325,6 +364,166 @@ object EDisMax {
     winners.toSeq.zipWithIndex
       .map { case ((_, id, _), i) => (i + 1, id) }
       .toDF("rank", "doc_id")
+  }
+
+  /** The single-pass kernel behind `topK` (see the eligibility comment
+    * there): every scoring component folded per doc inside one
+    * flatMapGroups over the query terms' decoded positions. The
+    * double-precision op sequence mirrors the general plan expression
+    * for expression: ts = (idf·(tf/(tf+1.2·(0.25+0.75·dlq/avgdl))))
+    * ·fieldBoost summed must-then-should; then per gram in pinned order
+    * s += boost·(sumIdf·(ptf/(ptf+1.2·(0.25+0.75·dlq/avgdl)))); then
+    * bq in list order s += boost·(idf·tfNorm). */
+  private def singlePassTopK(
+      inv: graft.index.InvertedIndex, fieldBoost: Double,
+      p: Parsed, k: Int,
+      gramsIn: Seq[(Seq[String], Double)],
+      bq: Seq[(String, Double)],
+      dfAll: Map[String, Long],
+      dlqB: org.apache.spark.broadcast.Broadcast[Map[Long, Int]],
+      urls: Map[Long, String]): DataFrame = {
+    val spark = inv.spark
+    import spark.implicits._
+    def empty = Seq.empty[(Int, Long)].toDF("rank", "doc_id")
+    // a must term absent from the dictionary is unsatisfiable
+    if (!p.must.forall(dfAll.contains)) return empty
+    val n = inv.stats.docCount
+    val avgdl = inv.stats.sumTotalTermFreq.toDouble / n
+    def idfOf(df: Long): Double =
+      math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+    // grams with a dictionary-absent term score 0 everywhere (the empty
+    // frame of the general plan) — dropped, order preserved; sumIdf is
+    // the phrase-order += fold the general plan computes on the driver
+    val grams: Array[(Array[String], Double, Double)] =
+      gramsIn.collect { case (g, b) if g.forall(dfAll.contains) =>
+        var sumIdf = 0.0
+        g.foreach(t => sumIdf += idfOf(dfAll(t)))
+        (g.toArray, b, sumIdf)
+      }.toArray
+    val bqList: Array[(String, Double)] =
+      bq.map { case (t, b) => (graft.analysis.Analysis.lowercase(t), b) }.toArray
+    val mustArr = p.must.toArray
+    val shouldArr = p.should.toArray
+    val mustNotArr = p.mustNot.toArray
+    val mmCount = p.mmCount
+    val shouldNonEmpty = p.should.nonEmpty
+    // per-query dictionary slice — the task closure never captures the
+    // full df map (that is what the norms BROADCAST is for)
+    val scanTerms = (mustArr ++ shouldArr ++ mustNotArr ++
+      bqList.map(_._1) ++ grams.flatMap(_._1)).distinct.filter(dfAll.contains)
+    if (scanTerms.isEmpty) return empty
+    val idfBy: Map[String, Double] = scanTerms.map(t => t -> idfOf(dfAll(t))).toMap
+    val fb = fieldBoost
+    val scored = new RelationalPath(inv).positionsTable(scanTerms.toSeq)
+      .select(col("docId").cast("long"), col("term"), col("pos"))
+      .as[(Long, String, Seq[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        val posOf = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.foreach { case (_, t, ps) => posOf(t) = ps.toArray }
+        // Boolean gate first — no scoring work for non-hits
+        var ok = true
+        var i = 0
+        while (ok && i < mustNotArr.length) {
+          ok = !posOf.contains(mustNotArr(i)); i += 1
+        }
+        var nShould = 0
+        if (ok) {
+          var nMust = 0
+          i = 0
+          while (i < mustArr.length) {
+            if (posOf.contains(mustArr(i))) nMust += 1; i += 1
+          }
+          i = 0
+          while (i < shouldArr.length) {
+            if (posOf.contains(shouldArr(i))) nShould += 1; i += 1
+          }
+          ok = nMust == mustArr.length &&
+            (mustArr.nonEmpty || nShould >= 1) &&
+            (!shouldNonEmpty || mmCount == 0 || nShould >= mmCount)
+        }
+        val dlqOpt = if (ok) dlqB.value.get(docId) else None
+        if (!ok || dlqOpt.isEmpty) Iterator.empty
+        else {
+          val dlqD = dlqOpt.get.toDouble
+          def tfNorm(tf: Double): Double =
+            tf / (tf + 1.2 * (0.25 + 0.75 * dlqD / avgdl))
+          def termScore(t: String): Double = {
+            val ps = posOf.getOrElse(t, null)
+            if (ps == null) 0.0
+            else idfBy(t) * tfNorm(ps.length.toDouble)
+          }
+          var s = 0.0
+          i = 0
+          while (i < mustArr.length) {
+            val ts = termScore(mustArr(i)); if (ts != 0.0) s += ts * fb; i += 1
+          }
+          i = 0
+          while (i < shouldArr.length) {
+            val ts = termScore(shouldArr(i)); if (ts != 0.0) s += ts * fb; i += 1
+          }
+          // grams in pinned order — the phraseFreqs counting kernel
+          var g = 0
+          while (g < grams.length) {
+            val (gram, boost, sumIdf) = grams(g)
+            var all = true
+            var m = 0
+            while (all && m < gram.length) {
+              all = posOf.contains(gram(m)); m += 1
+            }
+            if (all) {
+              val first = posOf(gram(0))
+              val tailSets = new Array[java.util.HashSet[Integer]](gram.length)
+              m = 1
+              while (m < gram.length) {
+                val ps = posOf(gram(m))
+                val set = new java.util.HashSet[Integer](ps.length * 2)
+                ps.foreach(pp => set.add(pp))
+                tailSets(m) = set
+                m += 1
+              }
+              var ptf = 0
+              var j = 0
+              while (j < first.length) {
+                val pp = first(j)
+                var good = true
+                m = 1
+                while (good && m < gram.length) {
+                  good = tailSets(m).contains(pp + m); m += 1
+                }
+                if (good) ptf += 1
+                j += 1
+              }
+              if (ptf > 0) {
+                val ptfD = ptf.toDouble
+                val ps = sumIdf *
+                  (ptfD / (ptfD + 1.2 * (0.25 + 0.75 * dlqD / avgdl)))
+                s = s + boost * ps
+              }
+            }
+            g += 1
+          }
+          // bq in list order: primary-field BM25 of the term (no field
+          // boost — the general plan's scoredTf score column)
+          var b = 0
+          while (b < bqList.length) {
+            val (t, boost) = bqList(b)
+            val ps = posOf.getOrElse(t, null)
+            if (ps != null)
+              s = s + boost * (idfBy(t) * tfNorm(ps.length.toDouble))
+            b += 1
+          }
+          Iterator.single((docId, s))
+        }
+      }
+    val winners = scored.toDF("docId", "s")
+      .orderBy(desc("s"), asc("docId")).limit(k)
+      .as[(Long, Double)].collect()
+      .sortBy { case (d, s) => (-s, d) }
+    winners.toSeq.zipWithIndex.map { case ((d, _), i) =>
+      val u = urls(d)
+      (i + 1, u.substring(u.lastIndexOf('/') + 1).toLong)
+    }.toDF("rank", "doc_id")
   }
 
   /** Term dfs over one field: the warm driver-side dictionary when the

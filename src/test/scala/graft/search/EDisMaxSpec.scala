@@ -181,6 +181,44 @@ class EDisMaxSpec extends SparkSpec {
     assert(ranked.take(bothCnt).forall(mergeDocs.contains))
   }
 
+  test("single-pass kernel ≡ general plan across query shapes") {
+    // a plain IndexView delegate is kernel-INELIGIBLE (the kernel
+    // pattern-matches InvertedIndex for its warm caches), so the same
+    // data runs the general relational plan — both plans must agree
+    // rank-for-rank on every query shape the kernel claims
+    val general: graft.index.IndexView = new graft.index.IndexView {
+      def spark = textIdx.spark
+      def stats = textIdx.stats
+      def postings = textIdx.postings
+      def docs = textIdx.docs
+      def termStats = textIdx.termStats
+    }
+    def both(q: String, mm: String, boost: Double = 1.0,
+             pf: Boolean = false, pf2: Boolean = false, pf3: Boolean = false,
+             bq: Seq[(String, Double)] = Nil): Unit = {
+      val p = EDisMax.parse(q, mm)
+      def run(iv: graft.index.IndexView) =
+        EDisMax.topK(Seq(iv -> boost), p, 10,
+          pf = if (pf) Seq(iv -> 0.7) else Nil,
+          pf2 = if (pf2) Seq(iv -> 0.4) else Nil,
+          pf3 = if (pf3) Seq(iv -> 0.3) else Nil,
+          bq = bq).collect().toSeq
+      assert(run(textIdx) === run(general), s"shape: q='$q' mm='$mm'")
+    }
+    both("sort merge window", "2<67%", pf2 = true)         // the x01 shape
+    both("spark join", "0")                                 // plain OR
+    both("spark join data", "2")                            // absolute mm
+    both("+spark merge", "0")                               // must + should
+    both("+spark -merge data", "0")                         // mustNot
+    both("spark sort merge", "0", pf = true, pf3 = true)    // pf + pf3
+    both("spark join", "0", boost = 2.5)                    // field boost
+    both("spark join", "0", bq = Seq("merge" -> 1.5))       // bq
+    both("spark zzzabsent", "0")                            // absent should
+    both("spark zzzabsent merge", "0", pf2 = true)          // absent gram term
+    both("+zzzabsent spark", "0")                           // absent must → empty
+    both("spark spark merge", "100%")                       // duplicate tokens
+  }
+
   test("must + mustNot across fields") {
     // +spark (text) -src1 (url): spark docs excluding source=src1
     val hits = EDisMax.topK(Seq(textIdx -> 2.0, urlIdx -> 1.0),
