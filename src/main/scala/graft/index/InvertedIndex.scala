@@ -177,6 +177,16 @@ final class InvertedIndex(val spark: SparkSession, val dir: String) extends Inde
     dlqBc
   }
 
+  /** The stored-fields (url) cache as a reusable broadcast — same
+    * lifetime contract as `dlqBroadcast`; lets serving kernels recover
+    * the corpus doc_id inside the scoring pass without a docs join. */
+  @volatile private var urlBc: Option[org.apache.spark.broadcast.Broadcast[Map[Long, String]]] = None
+  def urlBroadcast(maxDocs: Long = 1L << 20): Option[org.apache.spark.broadcast.Broadcast[Map[Long, String]]] = {
+    if (urlBc.isEmpty)
+      urlMap(maxDocs).foreach(m => urlBc = Some(spark.sparkContext.broadcast(m)))
+    urlBc
+  }
+
   /** Filter cache — the Solr filterCache / getDocSet analogue
     * [U solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java
     * filterCache]: the docId set of a non-scoring attribute predicate

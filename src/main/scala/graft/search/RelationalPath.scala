@@ -559,74 +559,106 @@ final class RelationalPath(idx: graft.index.IndexView) {
     * CONTAINING smallTerm [U lucene/queries/.../intervals/Intervals
     * #ordered/#maxgaps/#containing]: docs (ascending doc_id) where some
     * minimal ordered interval of `bigTerms` with ≤ `g` gap positions
-    * contains an occurrence of `smallTerm`. Two-phase like
-    * spanNearDocs: docId pre-intersection on ALL terms (big + small)
-    * from the tf rows, then position decode + the SHARED
-    * Spans.orderedIntervals/maxgaps/containing kernel on the
-    * candidates only. */
+    * contains an occurrence of `smallTerm`. Execution shape (serving
+    * one-pass vs general two-phase): see positionVerifiedDocs; the
+    * verifier is the SHARED Spans.orderedIntervals/maxgaps/containing
+    * kernel. */
   def intervalContainingDocs(bigTerms: Seq[String], g: Int,
                              smallTerm: String): DataFrame = {
-    val allTerms = (bigTerms :+ smallTerm).distinct
-    val cands = tfTable(allTerms).toDF("term", "docId", "tf")
-      .groupBy("docId")
-      .agg(countDistinct("term").as("nt"))
-      .filter(col("nt") === allTerms.length)
-      .select("docId")
-    val hits = positionsTable(allTerms)
     val big = bigTerms
     val small = smallTerm
     val kBig = bigTerms.length
-    val verified = hits.join(cands, "docId")
-      .select(col("docId").cast("long"), col("term"), col("pos"))
-      .as[(Long, String, Seq[Int])]
-      .groupByKey(_._1)
-      .flatMapGroups { (docId, it) =>
-        val byTerm = scala.collection.mutable.HashMap.empty[String, Array[Int]]
-        it.foreach { case (_, t, p) => byTerm(t) = p.toArray }
-        if (big.forall(byTerm.contains) && byTerm.contains(small)) {
-          val iv = Spans.maxgaps(
-            Spans.orderedIntervals(big.map(byTerm).toIndexedSeq), kBig, g)
-          val sm = byTerm(small).map(p => (p, p))
-          if (Spans.containing(iv, sm).nonEmpty) Iterator.single(docId)
-          else Iterator.empty
-        } else Iterator.empty
-      }
-      .toDF("docId")
-    verified
-      .join(docsWithId.select("docId", "doc_id"), "docId")
-      .select("doc_id").orderBy("doc_id")
+    positionVerifiedDocs((bigTerms :+ smallTerm).distinct, byTerm => {
+      val iv = Spans.maxgaps(
+        Spans.orderedIntervals(big.map(byTerm).toIndexedSeq), kBig, g)
+      val sm = byTerm(small).map(p => (p, p))
+      Spans.containing(iv, sm).nonEmpty
+    })
+  }
+
+  /** Shared tail of the position-verified doc queries (span-near,
+    * interval combinators, interval sources): docs (ascending doc_id)
+    * where `required` terms are all present and the decoded per-term
+    * position lists satisfy `verify`. Two execution shapes:
+    *
+    * - **General two-phase** (the scale default): docId
+    *   pre-intersection on `required` from the tf rows — with a hot
+    *   term in the query the ANY-term candidate set would be the whole
+    *   corpus, so the position payload of non-candidates must never
+    *   reach the verify shuffle — then position decode + `verify` on
+    *   the candidates only, then the docsWithId join for doc_id.
+    * - **Warm-serving one-pass** (InvertedIndex, no deletes, urls
+    *   cache under its 2^20-doc cap): ONE groupByKey over the query
+    *   terms' positions with the required-presence gate folded into
+    *   the verifier and doc_id recovered from the urls broadcast
+    *   inside the same pass — one shuffle, zero joins, the same
+    *   constant-plan-depth trade as the edismax kernel. The cap bounds
+    *   the ungated shuffle: a ≤2^20-doc corpus' position payload fits
+    *   the verify stage even for stop-word terms.
+    *
+    * `verify` sees exactly the terms present in the doc (NOT_*
+    * reference terms of interval sources may be absent). */
+  private def positionVerifiedDocs(allTerms: Seq[String],
+      verify: scala.collection.mutable.HashMap[String, Array[Int]] => Boolean,
+      requiredTerms: Seq[String] = Nil): DataFrame = {
+    val all = allTerms.distinct
+    val req = (if (requiredTerms.isEmpty) allTerms else requiredTerms).distinct
+    val servingUrls = idx match {
+      case inv: graft.index.InvertedIndex if !inv.hasDeletes =>
+        inv.urlBroadcast()
+      case _ => None
+    }
+    servingUrls match {
+      case Some(urlsB) =>
+        positionsTable(all)
+          .select(col("docId").cast("long"), col("term"), col("pos"))
+          .as[(Long, String, Seq[Int])]
+          .groupByKey(_._1)
+          .flatMapGroups { (docId, it) =>
+            val byTerm = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+            it.foreach { case (_, t, p) => byTerm(t) = p.toArray }
+            if (req.forall(byTerm.contains) && verify(byTerm)) {
+              val u = urlsB.value(docId)
+              Iterator.single(u.substring(u.lastIndexOf('/') + 1).toLong)
+            } else Iterator.empty
+          }
+          .toDF("doc_id").orderBy("doc_id")
+      case None =>
+        val cands = tfTable(req).toDF("term", "docId", "tf")
+          .groupBy("docId")
+          .agg(countDistinct("term").as("nt"))
+          .filter(col("nt") === req.length)
+          .select("docId")
+        positionsTable(all).join(cands, "docId")
+          .select(col("docId").cast("long"), col("term"), col("pos"))
+          .as[(Long, String, Seq[Int])]
+          .groupByKey(_._1)
+          .flatMapGroups { (docId, it) =>
+            val byTerm = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+            it.foreach { case (_, t, p) => byTerm(t) = p.toArray }
+            if (req.forall(byTerm.contains) && verify(byTerm))
+              Iterator.single(docId)
+            else Iterator.empty
+          }
+          .toDF("docId")
+          .join(docsWithId.select("docId", "doc_id"), "docId")
+          .select("doc_id").orderBy("doc_id")
+    }
   }
 
   /** Generic interval-source query — docs (ascending doc_id) where the
     * composed Intervals expression matches [U lucene/queries/.../
-    * intervals/Intervals.java — nested sources compose freely]. Same
-    * two-phase shape as intervalContainingDocs: docId pre-intersection
-    * on the source's REQUIRED terms (NOT_* reference terms excluded —
-    * their absence must not drop candidates), then position decode +
-    * the shared Spans.ISource kernel per candidate. */
+    * intervals/Intervals.java — nested sources compose freely].
+    * Execution shape: see positionVerifiedDocs — only the source's
+    * REQUIRED terms gate candidacy (NOT_* reference terms excluded:
+    * their absence must not drop candidates); the verifier is the
+    * shared Spans.ISource kernel. */
   def intervalSourceDocs(src: Spans.ISource): DataFrame = {
     val required = src.requiredTerms.distinct
-    val all = src.allTerms.distinct
     require(required.nonEmpty, s"interval source has no required terms: $src")
-    val cands = tfTable(required).toDF("term", "docId", "tf")
-      .groupBy("docId")
-      .agg(countDistinct("term").as("nt"))
-      .filter(col("nt") === required.length)
-      .select("docId")
     val s = src
-    val verified = positionsTable(all).join(cands, "docId")
-      .select(col("docId").cast("long"), col("term"), col("pos"))
-      .as[(Long, String, Seq[Int])]
-      .groupByKey(_._1)
-      .flatMapGroups { (docId, it) =>
-        val byTerm = scala.collection.mutable.HashMap.empty[String, Array[Int]]
-        it.foreach { case (_, t, p) => byTerm(t) = p.toArray }
-        if (s.eval(byTerm).nonEmpty) Iterator.single(docId) else Iterator.empty
-      }
-      .toDF("docId")
-    verified
-      .join(docsWithId.select("docId", "doc_id"), "docId")
-      .select("doc_id").orderBy("doc_id")
+    positionVerifiedDocs(src.allTerms.distinct,
+      byTerm => s.eval(byTerm).nonEmpty, requiredTerms = required)
   }
 
   /** Scored term + non-scoring timestamp-range filter — the
@@ -663,42 +695,16 @@ final class RelationalPath(idx: graft.index.IndexView) {
       .select(col("term"), col("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  /** Span-near matching docs (ascending doc_id), two-phase like the
-    * scorer path [U lucene/core/.../search/spans/SpanNearQuery.java]:
-    *
-    * Phase 1 pre-intersects on docId — only docs containing ALL k
-    * distinct terms survive (countDistinct == k over the tf rows; with
-    * a hot term in the query the ANY-term candidate set would be the
-    * whole corpus). Phase 2 joins the decoded positions down to those
-    * candidates and verifies with the SHARED Spans.spanFreq semantics
-    * on a typed Dataset (flatMapGroups — no opaque UDF filter). */
+  /** Span-near matching docs (ascending doc_id)
+    * [U lucene/core/.../search/spans/SpanNearQuery.java]. Execution
+    * shape (serving one-pass vs general two-phase): see
+    * positionVerifiedDocs; the verifier is the SHARED Spans.spanFreq
+    * semantics on a typed Dataset (flatMapGroups — no opaque UDF
+    * filter). */
   def spanNearDocs(terms: Seq[String], slop: Int, inOrder: Boolean): DataFrame = {
-    val distinctTerms = terms.distinct
-    // phase 1: conjunction candidates from docs/tf only — the position
-    // payload of non-candidates never reaches the verify stage
-    val cands = tfTable(distinctTerms).toDF("term", "docId", "tf")
-      .groupBy("docId")
-      .agg(countDistinct("term").as("nt"))
-      .filter(col("nt") === distinctTerms.length)
-      .select("docId")
-    val hits = positionsTable(distinctTerms)
     val qTerms = terms
-    val verified = hits.join(cands, "docId") // k-way docId pre-intersection
-      .select(col("docId").cast("long"), col("term"), col("pos"))
-      .as[(Long, String, Seq[Int])]
-      .groupByKey(_._1)
-      .flatMapGroups { (docId, it) =>
-        val byTerm = scala.collection.mutable.HashMap.empty[String, Array[Int]]
-        it.foreach { case (_, t, p) => byTerm(t) = p.toArray }
-        if (qTerms.forall(byTerm.contains) &&
-          Spans.spanFreq(qTerms.map(byTerm).toIndexedSeq, slop, inOrder) > 0)
-          Iterator.single(docId)
-        else Iterator.empty
-      }
-      .toDF("docId")
-    verified
-      .join(docsWithId.select("docId", "doc_id"), "docId")
-      .select("doc_id").orderBy("doc_id")
+    positionVerifiedDocs(terms.distinct,
+      byTerm => Spans.spanFreq(qTerms.map(byTerm).toIndexedSeq, slop, inOrder) > 0)
   }
 
   /** Exact-phrase matching docs (ascending doc_id), two-phase:

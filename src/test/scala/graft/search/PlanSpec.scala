@@ -132,8 +132,30 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().toSeq === unpruned.collect().toSeq)
   }
 
-  test("span-near: typed verify above a k-way docId pre-intersection, no UDF") {
+  test("span-near serving: single MapGroups pass, zero joins") {
+    // a warm InvertedIndex with no deletes takes the one-pass serving
+    // shape: one groupByKey over the terms' positions, doc_id from the
+    // urls broadcast — no candidate join, no docsWithId join
     val rel = new RelationalPath(idx)
+    val p = plan(rel.spanNearDocs(Seq("spark", "merge"), 3, inOrder = true))
+    assert(!p.contains("UDF("), "opaque UDF filter in span-near plan")
+    assert(!p.contains("collect_list"), "ANY-term collect in span-near plan")
+    assert(p.contains("MapGroups"), p.take(2000))
+    assert(!p.contains("Join"), "serving span-near must not join:\n" + p.take(3000))
+  }
+
+  test("span-near general: typed verify above a k-way docId pre-intersection, no UDF") {
+    // a plain IndexView delegate is serving-INELIGIBLE — the general
+    // two-phase plan must pre-intersect candidates from the tf rows so
+    // a hot term never floods the position shuffle
+    val general: graft.index.IndexView = new graft.index.IndexView {
+      def spark = idx.spark
+      def stats = idx.stats
+      def postings = idx.postings
+      def docs = idx.docs
+      def termStats = idx.termStats
+    }
+    val rel = new RelationalPath(general)
     val p = plan(rel.spanNearDocs(Seq("spark", "merge"), 3, inOrder = true))
     // "UDF(" = a ScalaUDF call site (typed flatMap's internal
     // UDFAdaptors class name is fine — that's the MapGroups machinery)

@@ -267,6 +267,32 @@ class SearchSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("position-verified serving one-pass ≡ general two-phase") {
+    // a plain IndexView delegate forces the general plan (candidate
+    // pre-intersection + docsWithId join); the warm InvertedIndex takes
+    // the one-pass serving shape — both must return the same doc_ids
+    val general: graft.index.IndexView = new graft.index.IndexView {
+      def spark = idx.spark
+      def stats = idx.stats
+      def postings = idx.postings
+      def docs = idx.docs
+      def termStats = idx.termStats
+    }
+    val servingRel = new RelationalPath(idx)
+    val generalRel = new RelationalPath(general)
+    def both(f: RelationalPath => org.apache.spark.sql.DataFrame,
+             shape: String): Unit =
+      assert(f(servingRel).collect().toSeq === f(generalRel).collect().toSeq,
+        s"shape: $shape")
+    both(_.spanNearDocs(Seq("spark", "merge"), 3, inOrder = true), "spannear")
+    both(_.spanNearDocs(Seq("merge", "spark"), 5, inOrder = false), "spannear unord")
+    both(_.intervalContainingDocs(Seq("spark", "merge"), 10, "join"), "containing")
+    both(_.intervalSourceDocs(Spans.INotContaining(
+      Spans.IMaxgaps(10, Spans.IOrdered(Seq(Spans.ITerm("spark"),
+        Spans.ITerm("merge")))), Spans.ITerm("join"))), "not_containing")
+    both(_.spanNearDocs(Seq("spark", "zzzabsent"), 3, inOrder = true), "absent term")
+  }
+
   test("CheckIndex audit clean on sf0.001") {
     assert(CheckIndex.audit(idx).isEmpty)
   }
