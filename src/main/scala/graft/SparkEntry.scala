@@ -703,7 +703,19 @@ object SparkEntry {
           lit("b"), lit(-1L)).cast("long").as("f_payload_miss"),
         V.currency(col("n_chars").cast("double"),
           when(col("lang") === "en", "USD").otherwise("EUR"), "USD",
-          Map("EUR" -> 1.25)).cast("double").as("f_currency"))
+          Map("EUR" -> 1.25)).cast("double").as("f_currency"),
+        // batch 4: registry remainder — aliases, boolean literals, hsin
+        V.fn("add", col("n_chars"), col("doc_id"), lit(3)).cast("long").as("f_add"),
+        V.fn("mul", col("n_chars"), lit(2)).cast("long").as("f_mul"),
+        V.fn("if", V.fn("true"), lit(1L), lit(0L)).cast("long").as("f_true"),
+        V.fn("if", V.fn("false"), lit(1L), lit(0L)).cast("long").as("f_false"),
+        // hsin over radians inputs, floor-quantized to survive the
+        // engines' op-order ulps (same trick as f_idf_q)
+        floor(V.fn("hsin", lit(6371.0087714),
+          radians(lit(10.0)), radians(lit(20.0)),
+          radians(V.fn("mod", col("doc_id"), lit(120)) - lit(59.5)),
+          radians(V.fn("mod", col("doc_id") * lit(7), lit(360)) - lit(179.5)))
+          * lit(1e3)).cast("long").as("f_hsin_q"))
         .orderBy("doc_id")
     })
   )
@@ -1655,7 +1667,16 @@ object SparkEntry {
         |CAST(100 AS BIGINT) AS f_flast,
         |n_chars::BIGINT AS f_payload,
         |CAST(-1 AS BIGINT) AS f_payload_miss,
-        |(n_chars::DOUBLE * (CASE WHEN lang = 'en' THEN 1.0 ELSE 1.25 END))::DOUBLE AS f_currency
+        |(n_chars::DOUBLE * (CASE WHEN lang = 'en' THEN 1.0 ELSE 1.25 END))::DOUBLE AS f_currency,
+        |(n_chars + doc_id + 3)::BIGINT AS f_add,
+        |(n_chars * 2)::BIGINT AS f_mul,
+        |CAST(1 AS BIGINT) AS f_true,
+        |CAST(0 AS BIGINT) AS f_false,
+        |CAST(floor(2.0 * 6371.0087714 * asin(sqrt(
+        |  pow(sin((radians(CAST(doc_id % 120 AS DOUBLE) - 59.5) - radians(10.0)) / 2.0), 2.0) +
+        |  cos(radians(10.0)) * cos(radians(CAST(doc_id % 120 AS DOUBLE) - 59.5)) *
+        |  pow(sin((radians(CAST((doc_id * 7) % 360 AS DOUBLE) - 179.5) - radians(20.0)) / 2.0), 2.0)
+        |)) * 1e3) AS BIGINT) AS f_hsin_q
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sx_significant" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

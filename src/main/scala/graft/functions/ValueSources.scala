@@ -47,7 +47,9 @@ object ValueSources {
     "div" -> bin(_ / _),
     "sub" -> bin(_ - _),
     "sum" -> (args => args.reduce(_ + _)),
+    "add" -> (args => args.reduce(_ + _)), // Solr registry alias of sum
     "product" -> (args => args.reduce(_ * _)),
+    "mul" -> (args => args.reduce(_ * _)), // Solr registry alias of product
     "min" -> (args => least(args: _*)),
     "max" -> (args => greatest(args: _*)),
     "if" -> { case Seq(c, t, f) => when(c, t).otherwise(f) },
@@ -105,6 +107,28 @@ object ValueSources {
     // field(x) — the identity passthrough (Solr FieldValueSource); the
     // multi-valued selector form lives in `fieldSelect` below
     "field" -> uni(identity),
+    // literal('x') / top(f) — passthroughs: the caller supplies the
+    // literal as a Column already, and `top` (read stats from the
+    // top-level reader) is the identity here because every column IS
+    // top-level — there are no per-segment leaf readers to differ from
+    "literal" -> uni(identity),
+    "top" -> uni(identity),
+    "true" -> { case Seq() => lit(true)
+                case args => sys.error(s"true() takes no args, got ${args.length}") },
+    "false" -> { case Seq() => lit(false)
+                 case args => sys.error(s"false() takes no args, got ${args.length}") },
+    // vector(a,b,...) — the multi-valued constructor (Solr VectorValueSource)
+    "vector" -> (args => array(args: _*)),
+    // hsin(radius, lat1, lon1, lat2, lon2) — haversine on a caller-
+    // supplied sphere radius, coordinates in RADIANS (the Solr
+    // HaversineFunction's convert=false form; geodist above is the
+    // degrees/earth-radius convenience) [U solr/core/.../search/
+    // function/distance/HaversineFunction.java]
+    "hsin" -> { case Seq(r, lat1, lon1, lat2, lon2) =>
+      val h = pow(sin((lat2 - lat1) / 2.0), 2.0) +
+        cos(lat1) * cos(lat2) * pow(sin((lon2 - lon1) / 2.0), 2.0)
+      lit(2.0) * r * asin(sqrt(h))
+      case args => sys.error(s"hsin takes 5 args, got ${args.length}") },
     // payload(field, key[, default]) — keyed per-doc payload lookup
     // with a default for absent keys [U solr PayloadScoreQParserPlugin /
     // FloatPayloadValueSource]: the payload store is a map-typed column
@@ -114,6 +138,13 @@ object ValueSources {
     // NOTE: `ord` is deliberately NOT a Column in this registry — a
     // column-level ordinal would be a no-partition Window (the corpus
     // through one task). Use `ValueSources.ord(df, field)` below.
+    // Deliberately excluded Solr registry rows: `threadid`/`sleep`
+    // (debug utilities with no distributed meaning), `testfunc` (test
+    // scaffolding), `agg_*` (the JSON-facet aggregates — they live in
+    // the facet surface, not per-row functions), `childfield` (block
+    // join scoring detail — BlockJoin.scala covers the operator), and
+    // `geohash`/`ghhsin` (geohash-string encode; the distance semantics
+    // are covered by geodist/hsin over lat/lon directly).
 
   /** Look up + apply a registered function. */
   def fn(name: String, args: Column*): Column =

@@ -40,6 +40,39 @@ class FunctionsSpec extends SparkSpec {
     assert(df.select(V.fn("pi")).head().getDouble(0) === math.Pi)
   }
 
+  test("registry remainder: aliases, literals, vector, hsin") {
+    val df = spark.range(1, 10).select(
+      (col("id").cast("double") / 7.0).as("x"),
+      (col("id").cast("double") / 3.0 - 1.0).as("y"))
+    val rows = df.select(col("x"), col("y"),
+      V.fn("add", col("x"), col("y"), lit(1.0)).as("f_add"),
+      V.fn("mul", col("x"), col("y"), lit(2.0)).as("f_mul"),
+      V.fn("literal", lit("s")).as("f_lit"),
+      V.fn("top", col("x")).as("f_top"),
+      V.fn("if", V.fn("true"), lit(1), lit(0)).as("f_true"),
+      V.fn("if", V.fn("false"), lit(1), lit(0)).as("f_false"),
+      V.fn("vector", col("x"), col("y")).as("f_vec"),
+      // hsin in radians == geodist in degrees at the earth radius
+      V.fn("hsin", lit(6371.0087714), radians(lit(10.0)), radians(lit(20.0)),
+        radians(col("x")), radians(col("y"))).as("f_hsin"),
+      V.fn("geodist", lit(10.0), lit(20.0), col("x"), col("y")).as("f_geo"))
+      .collect()
+    rows.foreach { r =>
+      val (x, y) = (r.getDouble(0), r.getDouble(1))
+      assert(r.getDouble(2) === x + y + 1.0)
+      assert(r.getDouble(3) === x * y * 2.0)
+      assert(r.getString(4) === "s")
+      assert(r.getDouble(5) === x)
+      assert(r.getInt(6) === 1)
+      assert(r.getInt(7) === 0)
+      assert(r.getSeq[Double](8) === Seq(x, y))
+      // hsin ≡ geodist up to op-order ulps (radians-of-difference vs
+      // difference-of-radians)
+      assert(math.abs(r.getDouble(9) - r.getDouble(10)) <=
+        1e-12 * math.abs(r.getDouble(10)))
+    }
+  }
+
   test("dist p-norms: p=0 count, p=1 manhattan, p=2 euclid, p=inf chebyshev") {
     val df = spark.range(1).select(
       lit(1.0).as("x1"), lit(-2.0).as("x2"), lit(4.0).as("y1"), lit(-2.0).as("y2"))
