@@ -149,38 +149,45 @@ object EDisMax {
        else Nil)
 
     // ---- single-pass serving kernel ----
-    // Single-field qf with no boost function: the whole query — BM25
-    // term partials, must/mustNot/mm Boolean logic, pf/pf2/pf3 phrase
-    // tfs, bq additive boosts — folds per doc in ONE distributed pass
-    // over the query terms' postings: one position scan (a term's tf
-    // is its position count), one groupByKey(docId) shuffle, and NO
-    // docs-table join — length norms come from the warm in-RAM norms
-    // broadcast, the reference's serving shape (NormsProducer keeps
-    // one byte per doc in memory [U lucene/core/.../codecs/lucene90/
+    // No boost function and every index warm: the whole query — per-
+    // field BM25 term partials, the cross-field DisMax (tie fold),
+    // must/mustNot/mm Boolean logic over any-field matches, pf/pf2/pf3
+    // phrase tfs, bq additive boosts — folds per doc in ONE distributed
+    // pass over the query terms' postings: one position scan per field
+    // (a term's tf is its position count), tagged by field ordinal and
+    // unioned, one groupByKey(docId) shuffle (the fields are docId-
+    // aligned — same corpus, same url order), and NO docs-table joins —
+    // per-field length norms come from warm in-RAM norms broadcasts,
+    // the reference's serving shape (NormsProducer keeps one byte per
+    // doc in memory [U lucene/core/.../codecs/lucene90/
     // Lucene90NormsProducer.java]; ExtendedDismaxQParser scores the
-    // same postings cursor once per segment). The general relational
-    // plan below chains 4 exchanges (scoredTf stats+docs joins, perDoc
-    // groupBy, phrase join) that AQE stages into ~8 jobs per query.
-    // Arithmetic is the same double-precision op sequence — gates
-    // ir_q30/36/39/41/46 hash-validate it against the SQL oracles, and
-    // EDisMaxSpec asserts kernel ≡ general plan. Falls through to the
-    // general plan when bf is present (arbitrary docs-table Column),
-    // the index has deletes, any phrase field is not the primary, or
-    // the corpus exceeds the norms-cache cap (2^20 docs — a cluster
-    // serves norms as executor-pinned per-segment slices instead).
-    val kernelPrimary: Option[graft.index.InvertedIndex] = fields match {
-      case Seq((inv: graft.index.InvertedIndex, _))
-        if bf.isEmpty && !inv.hasDeletes && gramSeq.forall(_.field eq inv) =>
-        Some(inv)
-      case _ => None
-    }
-    kernelPrimary.foreach { inv =>
-      (inv.termDfMap(), inv.dlqBroadcast(), inv.urlMap()) match {
-        case (Some(dfAll), Some(dlqB), Some(urls)) =>
-          return singlePassTopK(inv, fields.head._2, p, k,
-            gramSeq.map(g => (g.gram, g.boost)), bq, dfAll, dlqB, urls)
-        case _ => () // caches over cap: stay on the general plan
-      }
+    // same postings cursors once per segment). The general relational
+    // plan below chains 4+ exchanges per field (scoredTf stats+docs
+    // joins, cross-field groupBy, perDoc groupBy, phrase join) that AQE
+    // stages into ~8 jobs per query. Arithmetic is the same
+    // double-precision op sequence — gates ir_q30/36/39/41/46
+    // hash-validate it against the SQL oracles, and EDisMaxSpec asserts
+    // kernel ≡ general plan for single- and multi-field shapes. Falls
+    // through to the general plan when bf is present (arbitrary
+    // docs-table Column), any index has deletes, or any index's
+    // dictionary/norms exceed the cache caps (2^20 — a cluster serves
+    // norms as executor-pinned per-segment slices instead).
+    val kernelFields: Option[(Seq[(graft.index.InvertedIndex, Double)],
+                              Seq[(graft.index.InvertedIndex, Double, Seq[String])])] =
+      if (bf.isEmpty) {
+        val qfInv = fields.collect { case (i: graft.index.InvertedIndex, b) => (i, b) }
+        val gramInv = gramSeq.collect {
+          case GramSpec(i: graft.index.InvertedIndex, b, g) => (i, b, g) }
+        val allInv = qfInv.map(_._1) ++ gramInv.map(_._1)
+        if (qfInv.length == fields.length && gramInv.length == gramSeq.length &&
+            allInv.forall(i => !i.hasDeletes && i.termDfMap().isDefined &&
+              i.dlqBroadcast().isDefined) &&
+            qfInv.head._1.urlMap().isDefined)
+          Some((qfInv, gramInv))
+        else None
+      } else None
+    kernelFields.foreach { case (qfInv, gramInv) =>
+      return singlePassTopK(qfInv, p, k, tie, gramInv, bq)
     }
 
     // per-field per-(term, doc) boosted partials, unioned across fields
@@ -368,38 +375,64 @@ object EDisMax {
 
   /** The single-pass kernel behind `topK` (see the eligibility comment
     * there): every scoring component folded per doc inside one
-    * flatMapGroups over the query terms' decoded positions. The
+    * flatMapGroups over the query terms' decoded positions, unioned
+    * across the qf/phrase fields tagged by field ordinal. The
     * double-precision op sequence mirrors the general plan expression
-    * for expression: ts = (idf·(tf/(tf+1.2·(0.25+0.75·dlq/avgdl))))
-    * ·fieldBoost summed must-then-should; then per gram in pinned order
-    * s += boost·(sumIdf·(ptf/(ptf+1.2·(0.25+0.75·dlq/avgdl)))); then
-    * bq in list order s += boost·(idf·tfNorm). */
+    * for expression: per field ws = (idf_f·(tf/(tf+1.2·(0.25+0.75·
+    * dlq_f/avgdl_f))))·boost_f; per term ts = max_f(ws) + tie·(Σ_f(ws)
+    * − max_f(ws)); s = Σ ts must-then-should; then per gram in pinned
+    * order s += boost·(sumIdf·(ptf/(ptf+1.2·(0.25+0.75·dlq/avgdl))))
+    * with the gram field's stats; then bq in list order s +=
+    * boost·(idf·tfNorm) over the primary field. */
   private def singlePassTopK(
-      inv: graft.index.InvertedIndex, fieldBoost: Double,
-      p: Parsed, k: Int,
-      gramsIn: Seq[(Seq[String], Double)],
-      bq: Seq[(String, Double)],
-      dfAll: Map[String, Long],
-      dlqB: org.apache.spark.broadcast.Broadcast[Map[Long, Int]],
-      urls: Map[Long, String]): DataFrame = {
-    val spark = inv.spark
+      qf: Seq[(graft.index.InvertedIndex, Double)],
+      p: Parsed, k: Int, tie: Double,
+      gramsIn: Seq[(graft.index.InvertedIndex, Double, Seq[String])],
+      bq: Seq[(String, Double)]): DataFrame = {
+    val spark = qf.head._1.spark
     import spark.implicits._
     def empty = Seq.empty[(Int, Long)].toDF("rank", "doc_id")
-    // a must term absent from the dictionary is unsatisfiable
-    if (!p.must.forall(dfAll.contains)) return empty
-    val n = inv.stats.docCount
-    val avgdl = inv.stats.sumTotalTermFreq.toDouble / n
-    def idfOf(df: Long): Double =
-      math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
-    // grams with a dictionary-absent term score 0 everywhere (the empty
-    // frame of the general plan) — dropped, order preserved; sumIdf is
-    // the phrase-order += fold the general plan computes on the driver
-    val grams: Array[(Array[String], Double, Double)] =
-      gramsIn.collect { case (g, b) if g.forall(dfAll.contains) =>
-        var sumIdf = 0.0
-        g.foreach(t => sumIdf += idfOf(dfAll(t)))
-        (g.toArray, b, sumIdf)
+    // distinct indexes by reference — field ordinals; qf fields first
+    // so ordinal < nQf ⇔ scored field
+    val idxs = scala.collection.mutable.ArrayBuffer.empty[graft.index.InvertedIndex]
+    def ordOf(i: graft.index.InvertedIndex): Int = {
+      val at = idxs.indexWhere(_ eq i)
+      if (at >= 0) at else { idxs += i; idxs.length - 1 }
+    }
+    qf.foreach { case (i, _) => ordOf(i) }
+    val nQf = idxs.length
+    val qfOrd: Array[Int] = qf.map { case (i, _) => ordOf(i) }.toArray
+    val qfBoost: Array[Double] = qf.map(_._2).toArray
+    val gramSpecs: Array[(Int, Double, Array[String], Double)] =
+      gramsIn.flatMap { case (i, b, g) =>
+        val dfOf = i.termDfMap().get
+        // a gram with a dictionary-absent term scores 0 everywhere
+        // (the empty frame of the general plan) — dropped, order kept
+        if (g.forall(dfOf.contains)) {
+          val n = i.stats.docCount
+          var sumIdf = 0.0 // phrase-order fold, like the scorer path
+          g.foreach(t =>
+            sumIdf += math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5)))
+          Some((ordOf(i), b, g.toArray, sumIdf))
+        } else None
       }.toArray
+    val nIdx = idxs.length
+    // per-ordinal driver stats + norms broadcasts
+    val dfs: Array[Map[String, Long]] = idxs.map(_.termDfMap().get).toArray
+    val dlqBs = idxs.map(_.dlqBroadcast().get).toArray
+    val avgdl: Array[Double] =
+      idxs.map(i => i.stats.sumTotalTermFreq.toDouble / i.stats.docCount).toArray
+    val idfs: Array[Map[String, Double]] = idxs.zipWithIndex.map { case (i, f) =>
+      val n = i.stats.docCount
+      dfs(f).map { case (t, df) =>
+        t -> math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5)) }
+    }.toArray
+    val urls = qf.head._1.urlMap().get
+    // a must term absent from EVERY qf field's dictionary is
+    // unsatisfiable
+    val qfOrdDistinct = qfOrd.distinct
+    if (!p.must.forall(t => qfOrdDistinct.exists(f => dfs(f).contains(t))))
+      return empty
     val bqList: Array[(String, Double)] =
       bq.map { case (t, b) => (graft.analysis.Analysis.lowercase(t), b) }.toArray
     val mustArr = p.must.toArray
@@ -407,76 +440,133 @@ object EDisMax {
     val mustNotArr = p.mustNot.toArray
     val mmCount = p.mmCount
     val shouldNonEmpty = p.should.nonEmpty
-    // per-query dictionary slice — the task closure never captures the
-    // full df map (that is what the norms BROADCAST is for)
-    val scanTerms = (mustArr ++ shouldArr ++ mustNotArr ++
-      bqList.map(_._1) ++ grams.flatMap(_._1)).distinct.filter(dfAll.contains)
-    if (scanTerms.isEmpty) return empty
-    val idfBy: Map[String, Double] = scanTerms.map(t => t -> idfOf(dfAll(t))).toMap
-    val fb = fieldBoost
-    val scored = new RelationalPath(inv).positionsTable(scanTerms.toSeq)
-      .select(col("docId").cast("long"), col("term"), col("pos"))
-      .as[(Long, String, Seq[Int])]
-      .groupByKey(_._1)
+    // per-ordinal scan terms — per-query dictionary slices only (the
+    // task closure never captures the full df maps; norms ride the
+    // broadcasts)
+    val scanTerms: Array[Seq[String]] = Array.tabulate(nIdx) { f =>
+      val mine = scala.collection.mutable.LinkedHashSet.empty[String]
+      if (f < nQf && qfOrdDistinct.contains(f)) {
+        (mustArr ++ shouldArr ++ mustNotArr).foreach(mine += _)
+        if (f == qfOrd(0)) bqList.foreach(mine += _._1)
+      }
+      gramSpecs.foreach { case (gf, _, g, _) => if (gf == f) g.foreach(mine += _) }
+      mine.toSeq.filter(dfs(f).contains)
+    }
+    if (scanTerms.forall(_.isEmpty)) return empty
+    val idfSlice: Array[Map[String, Double]] =
+      Array.tabulate(nIdx)(f => scanTerms(f).map(t => t -> idfs(f)(t)).toMap)
+    val positions: org.apache.spark.sql.Dataset[(Int, Long, String, Seq[Int])] =
+      idxs.toSeq.zipWithIndex.collect {
+        case (i, f) if scanTerms(f).nonEmpty =>
+          new RelationalPath(i).positionsTable(scanTerms(f))
+            .select(lit(f).as("fi"), col("docId").cast("long"),
+              col("term"), col("pos"))
+            .as[(Int, Long, String, Seq[Int])]
+      }.reduce(_ union _)
+    val tieW = tie
+    val qfOrdL = qfOrd
+    val qfBoostL = qfBoost
+    val scored = positions
+      .groupByKey(_._2)
       .flatMapGroups { (docId, it) =>
-        val posOf = scala.collection.mutable.HashMap.empty[String, Array[Int]]
-        it.foreach { case (_, t, ps) => posOf(t) = ps.toArray }
+        val posOf = Array.fill(nIdx)(
+          scala.collection.mutable.HashMap.empty[String, Array[Int]])
+        it.foreach { case (f, _, t, ps) => posOf(f)(t) = ps.toArray }
+        def presentAny(t: String): Boolean = {
+          var f = 0
+          var found = false
+          while (!found && f < qfOrdDistinct.length) {
+            found = posOf(qfOrdDistinct(f)).contains(t); f += 1
+          }
+          found
+        }
         // Boolean gate first — no scoring work for non-hits
         var ok = true
         var i = 0
         while (ok && i < mustNotArr.length) {
-          ok = !posOf.contains(mustNotArr(i)); i += 1
+          ok = !presentAny(mustNotArr(i)); i += 1
         }
-        var nShould = 0
         if (ok) {
           var nMust = 0
           i = 0
           while (i < mustArr.length) {
-            if (posOf.contains(mustArr(i))) nMust += 1; i += 1
+            if (presentAny(mustArr(i))) nMust += 1; i += 1
           }
+          var nShould = 0
           i = 0
           while (i < shouldArr.length) {
-            if (posOf.contains(shouldArr(i))) nShould += 1; i += 1
+            if (presentAny(shouldArr(i))) nShould += 1; i += 1
           }
           ok = nMust == mustArr.length &&
             (mustArr.nonEmpty || nShould >= 1) &&
             (!shouldNonEmpty || mmCount == 0 || nShould >= mmCount)
         }
-        val dlqOpt = if (ok) dlqB.value.get(docId) else None
-        if (!ok || dlqOpt.isEmpty) Iterator.empty
+        // per-doc per-field norms, hoisted once (not per term); a doc
+        // absent from any norms map is dropped, like the general plan's
+        // inner docs join
+        val dlqD = new Array[Double](nIdx)
+        if (ok) {
+          var f = 0
+          while (ok && f < nIdx) {
+            dlqBs(f).value.get(docId) match {
+              case Some(d) => dlqD(f) = d.toDouble
+              case None => ok = false
+            }
+            f += 1
+          }
+        }
+        if (!ok) Iterator.empty
         else {
-          val dlqD = dlqOpt.get.toDouble
-          def tfNorm(tf: Double): Double =
-            tf / (tf + 1.2 * (0.25 + 0.75 * dlqD / avgdl))
-          def termScore(t: String): Double = {
-            val ps = posOf.getOrElse(t, null)
-            if (ps == null) 0.0
-            else idfBy(t) * tfNorm(ps.length.toDouble)
+          def tfNormAt(f: Int, tf: Double): Double =
+            tf / (tf + 1.2 * (0.25 + 0.75 * dlqD(f) / avgdl(f)))
+          // ts = cross-field dismax of the per-field weighted partials
+          def termTs(t: String): Double = {
+            var mx = 0.0
+            var sm = 0.0
+            var any = false
+            var q = 0
+            while (q < qfOrdL.length) {
+              val f = qfOrdL(q)
+              val ps = posOf(f).getOrElse(t, null)
+              if (ps != null) {
+                val ws = (idfSlice(f)(t) * tfNormAt(f, ps.length.toDouble)) *
+                  qfBoostL(q)
+                if (!any || ws > mx) mx = ws
+                sm += ws
+                any = true
+              }
+              q += 1
+            }
+            if (!any) 0.0
+            else if (tieW == 0.0) mx
+            else mx + tieW * (sm - mx)
           }
           var s = 0.0
           i = 0
           while (i < mustArr.length) {
-            val ts = termScore(mustArr(i)); if (ts != 0.0) s += ts * fb; i += 1
+            val ts = termTs(mustArr(i)); if (ts != 0.0) s += ts; i += 1
           }
           i = 0
           while (i < shouldArr.length) {
-            val ts = termScore(shouldArr(i)); if (ts != 0.0) s += ts * fb; i += 1
+            val ts = termTs(shouldArr(i)); if (ts != 0.0) s += ts; i += 1
           }
-          // grams in pinned order — the phraseFreqs counting kernel
+          // grams in pinned order — the phraseFreqs counting kernel on
+          // the gram field's positions
           var g = 0
-          while (g < grams.length) {
-            val (gram, boost, sumIdf) = grams(g)
+          while (g < gramSpecs.length) {
+            val (gf, boost, gram, sumIdf) = gramSpecs(g)
+            val pog = posOf(gf)
             var all = true
             var m = 0
             while (all && m < gram.length) {
-              all = posOf.contains(gram(m)); m += 1
+              all = pog.contains(gram(m)); m += 1
             }
             if (all) {
-              val first = posOf(gram(0))
+              val first = pog(gram(0))
               val tailSets = new Array[java.util.HashSet[Integer]](gram.length)
               m = 1
               while (m < gram.length) {
-                val ps = posOf(gram(m))
+                val ps = pog(gram(m))
                 val set = new java.util.HashSet[Integer](ps.length * 2)
                 ps.foreach(pp => set.add(pp))
                 tailSets(m) = set
@@ -496,9 +586,8 @@ object EDisMax {
               }
               if (ptf > 0) {
                 val ptfD = ptf.toDouble
-                val ps = sumIdf *
-                  (ptfD / (ptfD + 1.2 * (0.25 + 0.75 * dlqD / avgdl)))
-                s = s + boost * ps
+                val ps2 = sumIdf * tfNormAt(gf, ptfD)
+                s = s + boost * ps2
               }
             }
             g += 1
@@ -508,9 +597,10 @@ object EDisMax {
           var b = 0
           while (b < bqList.length) {
             val (t, boost) = bqList(b)
-            val ps = posOf.getOrElse(t, null)
+            val f0 = qfOrdL(0)
+            val ps = posOf(f0).getOrElse(t, null)
             if (ps != null)
-              s = s + boost * (idfBy(t) * tfNorm(ps.length.toDouble))
+              s = s + boost * (idfSlice(f0)(t) * tfNormAt(f0, ps.length.toDouble))
             b += 1
           }
           Iterator.single((docId, s))

@@ -219,6 +219,39 @@ class EDisMaxSpec extends SparkSpec {
     both("spark spark merge", "100%")                       // duplicate tokens
   }
 
+  test("multi-field kernel ≡ general plan across query shapes") {
+    // force the general plan by wrapping ONE field as a plain
+    // IndexView (kernel eligibility requires every field warm)
+    def plain(i: graft.index.InvertedIndex): graft.index.IndexView =
+      new graft.index.IndexView {
+        def spark = i.spark
+        def stats = i.stats
+        def postings = i.postings
+        def docs = i.docs
+        def termStats = i.termStats
+      }
+    def both(q: String, mm: String, tie: Double = 0.0,
+             pfText: Boolean = false, pf2Text: Boolean = false,
+             bq: Seq[(String, Double)] = Nil): Unit = {
+      val p = EDisMax.parse(q, mm)
+      def run(t: graft.index.IndexView, u: graft.index.IndexView) =
+        EDisMax.topK(Seq(t -> 2.0, u -> 1.0), p, 10, tie = tie,
+          pf = if (pfText) Seq(t -> 0.7) else Nil,
+          pf2 = if (pf2Text) Seq(t -> 0.4) else Nil,
+          bq = bq).collect().toSeq
+      assert(run(textIdx, urlIdx) === run(plain(textIdx), plain(urlIdx)),
+        s"shape: q='$q' mm='$mm' tie=$tie")
+    }
+    both("spark src3", "50%")                     // the ir_q30 gate shape
+    both("spark src3", "50%", tie = 0.3)          // dismax tiebreak fold
+    both("spark src3 merge", "2")                 // absolute mm across fields
+    both("+spark src1", "0")                      // must in one field
+    both("+spark -src1 merge", "0")               // mustNot from the url field
+    both("spark merge window", "0", pfText = true, pf2Text = true) // grams
+    both("spark src3", "0", bq = Seq("merge" -> 1.5))              // bq
+    both("spark spark src3", "100%")              // duplicate tokens
+  }
+
   test("must + mustNot across fields") {
     // +spark (text) -src1 (url): spark docs excluding source=src1
     val hits = EDisMax.topK(Seq(textIdx -> 2.0, urlIdx -> 1.0),
