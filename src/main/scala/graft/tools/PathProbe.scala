@@ -47,6 +47,26 @@ object PathProbe {
       new Searcher(idx).topK(SpanNearQ(Seq("spark", "merge"), 3,
         inOrder = true), 10).collect()
     }
+
+    // multi-field edismax: kernel (warm InvertedIndexes) vs the forced
+    // general plan (plain IndexView wrappers)
+    val urlIdx = graft.SparkEntry.urlIndex(spark, sf).warm()
+    def plain(i: graft.index.InvertedIndex): graft.index.IndexView =
+      new graft.index.IndexView {
+        def spark = i.spark
+        def stats = i.stats
+        def postings = i.postings
+        def docs = i.docs
+        def termStats = i.termStats
+      }
+    val pq = EDisMax.parse("spark src3", "50%")
+    med5("edismax 2-field kernel") {
+      EDisMax.topK(Seq(idx -> 2.0, urlIdx -> 1.0), pq, 10).collect()
+    }
+    med5("edismax 2-field general") {
+      EDisMax.topK(Seq(plain(idx) -> 2.0, plain(urlIdx) -> 1.0),
+        pq, 10).collect()
+    }
     spark.stop()
   }
 }
