@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, IndexConfig, InvertedIndex}
 import graft.model.Corpus
-import graft.pipeline.{Ann, Dedup, TextStats}
+import graft.pipeline.{Ann, Components, Dedup, TextStats}
 import graft.search.{GraphStreams, Query, RelationalPath, Searcher, TermQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -359,6 +359,12 @@ object SparkEntry {
     // recall guaranteed at maxDist=8 — the full pair set is exact
     "dd_simhash_wide" -> ((s, d) =>
       Dedup.simhashNearDupsWide(docsTable(s, d), maxDist = 8, numBlocks = 10)),
+    // transitive near-dup CLUSTERS over the pair set (large-star /
+    // small-star, Kiveris et al. SoCC'14): one component id per doc;
+    // the pipeline keeps doc_id == component and drops the rest
+    "dd_components" -> ((s, d) =>
+      Components.nearDupComponents(docsTable(s, d), n = 3, threshold = 0.12)
+        .orderBy("doc_id")),
     // ---- text analysis ----
     "tx_counts" -> ((s, d) => TextStats.countingStats(docsTable(s, d)).orderBy("doc_id")),
     "tx_quality" -> ((s, d) => TextStats.qualityPpm(docsTable(s, d)).orderBy("doc_id")),
@@ -1101,6 +1107,29 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.12
         |ORDER BY a, b""".stripMargin,
+    // transitive closure of the exact-Jaccard pair set via recursive
+    // CTE (min reachable id = component) — the large-star/small-star
+    // result restated declaratively
+    "dd_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END AS gs
+        |  FROM toks), unnest(gs) AS u(g)),
+        |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS i
+        |  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.12),
+        |undirected AS (SELECT a AS u, b AS v FROM pairs
+        |  UNION SELECT b AS u, a AS v FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN undirected e ON reach.r = e.u)
+        |SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // full SimHash restated in mod-2^64 HUGEINT SQL: FNV-1a per token,
     // ±1 bit voting, pairwise popcount ≤ maxDist — exact because the
     // band bucketing guarantees recall at maxDist=3
