@@ -116,6 +116,24 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("bbox over stored lat/lon columns pushes whole into the parquet scan") {
+    // the ir_q51 gate synthesizes lat/lon from doc_id (no geo columns
+    // in the corpus), where pushdown is impossible by construction;
+    // this pins the claim for the deployment shape — stored columns
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bboxplan").toString
+    Seq((1L, 10.0, 120.0), (2L, 40.0, 10.0)).toDF("id", "lat", "lon")
+      .write.mode("overwrite").parquet(dir)
+    val geo = spark.read.parquet(dir)
+    val p = plan(geo.filter(graft.functions.Geo.bboxPred(
+      col("lat"), col("lon"), 0.0, 30.0, 100.0, 170.0)))
+    assert(p.contains("GreaterThanOrEqual(lat,0.0)") &&
+      p.contains("LessThanOrEqual(lat,30.0)") &&
+      p.contains("GreaterThanOrEqual(lon,100.0)") &&
+      p.contains("LessThanOrEqual(lon,170.0)"), p.take(3000))
+  }
+
   test("spellcheck scan is pruned: tlen band pushed into the parquet scan") {
     val df = Suggest.spellcheck(idx, "spark", maxEdits = 1, k = 10)
     val p = plan(df)

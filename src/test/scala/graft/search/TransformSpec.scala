@@ -213,4 +213,51 @@ class TransformSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(baseGot === baseExp)
   }
+
+  test("LTR tree-ensemble re-rank == driver tree-walk oracle") {
+    import Ltr.{Branch, Leaf, TreesModel}
+    val terms = Seq("spark", "merge")
+    val model = TreesModel(
+      Seq("base" -> col("s"), "dl" -> col("dl").cast("double")),
+      Seq(
+        0.7 -> Branch("dl", 40.0,
+          Leaf(1.5), Branch("base", 2.0, Leaf(-0.5), Leaf(2.0))),
+        0.3 -> Branch("base", 1.0, Leaf(0.0), Leaf(4.0))))
+    val got = Ltr.rescore(idx, terms, 30, 10, model).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // driver oracle: same candidates, same branch rule (≤ goes left),
+    // same Σ weight·leaf fold order
+    def walk(n: Ltr.TreeNode, f: Map[String, Double]): Double = n match {
+      case Leaf(v) => v
+      case Branch(ft, t, l, r) => if (f(ft) <= t) walk(l, f) else walk(r, f)
+    }
+    val scored = rel.scoredTf(terms)
+      .groupBy("docId", "doc_id").agg(sum("score").as("s"))
+      .join(rel.docsWithId.select("docId", "dl"), "docId")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("docId")),
+        r.getLong(r.fieldIndex("doc_id")),
+        r.getDouble(r.fieldIndex("s")), r.getInt(r.fieldIndex("dl"))))
+    val cand = scored.sortBy { case (docId, _, s, _) => (-s, docId) }.take(30)
+    val expected = cand
+      .map { case (docId, docPub, s, dl) =>
+        val f = Map("base" -> s, "dl" -> dl.toDouble)
+        (docId, docPub,
+          model.trees.map { case (w, root) => w * walk(root, f) }
+            .reduceLeft(_ + _))
+      }
+      .sortBy { case (docId, _, v) => (-v, docId) }
+      .take(10).zipWithIndex
+      .map { case ((_, docPub, _), i) => (i + 1, docPub) }.toSeq
+    assert(got === expected)
+    // a single all-leaf "tree" degenerates to a constant score — all
+    // candidates tie, so ranks fall back to docId-ascending order
+    val constModel = TreesModel(Seq("base" -> col("s")),
+      Seq(1.0 -> Leaf(3.0)))
+    val constGot = Ltr.rescore(idx, terms, 30, 10, constModel).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val constExp = cand.sortBy(_._1).take(10).zipWithIndex
+      .map { case ((_, docPub, _, _), i) => (i + 1, docPub) }.toSeq
+    assert(constGot === constExp)
+  }
 }
