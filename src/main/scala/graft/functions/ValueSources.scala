@@ -203,7 +203,12 @@ object ValueSources {
     case "min" => array_min(c)
     case "max" => array_max(c)
     case "first" => element_at(c, 1)
-    case "last" => element_at(c, -1)
+    // 0-based `get`, not element_at(c, -1): ElementAt's codegen emits a
+    // reference to an undeclared null flag when the resolved index lands
+    // on a non-nullable array child (janino "isNull is not an rvalue"),
+    // knocking the whole enclosing projection out of whole-stage
+    // codegen; `get` is null-safe on empty arrays too
+    case "last" => get(c, size(c) - 1)
     case other => sys.error(s"unknown multi-value selector: $other")
   }
 

@@ -57,15 +57,25 @@ object Suggest {
     // rank prefix matches ahead of infix matches (the blended sort).
     // O(dict × len × gramSizes) rows — ~len× the edge build, the same
     // trade the reference makes (it indexes the whole suggestion text).
+    // gram expansion as two Generate (explode) operators rather than
+    // nested higher-order-function lambdas: same rows, but the nested
+    // NamedLambdaVariable form trips Spark's janino codegen ("isNull is
+    // not an rvalue") and silently falls back to interpreted eval —
+    // the explode plan stays inside whole-stage codegen
+    val sized = base.filter(length(col("term")) >= minGram)
+      .withColumn("n", explode(
+        sequence(lit(minGram), least(lit(maxGram), length(col("term"))))))
     val grams =
       if (infix)
-        base.withColumn("gram", explode(
-          graft.analysis.Analysis.charNgramsCol(array(col("term")), minGram, maxGram)))
+        sized
+          .withColumn("i", explode(
+            sequence(lit(1), length(col("term")) - col("n") + lit(1))))
+          .withColumn("gram", col("term").substr(col("i"), col("n")))
           .groupBy("gram", "term").agg(max("weight").as("weight"))
           .withColumn("edge", col("term").startsWith(col("gram")))
       else
-        base.withColumn("gram", explode(
-          graft.analysis.Analysis.edgeNgramsCol(array(col("term")), minGram, maxGram)))
+        sized
+          .withColumn("gram", col("term").substr(lit(1), col("n")))
           .withColumn("edge", lit(true))
     graft.index.TermFilters
       .withFilterCols(grams.select("gram", "term", "weight", "edge"),
