@@ -408,7 +408,7 @@ object Bench {
     final case class Attempt(results: scala.collection.mutable.LinkedHashMap[String, Double],
                              buildSec: Double, docCount: Long,
                              perQuery: Seq[Double], extTimes: Seq[Double],
-                             hw: Double, hwMem: Double)
+                             hw: Double, hwMem: Double, hwMem32: Double)
 
     def measureOnce(): Attempt = {
       val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -496,7 +496,13 @@ object Bench {
       // shows up as depressed units/sec vs the recorded clean baselines
       val hw = cpuCalibration(cpus)
       val hwMem = memCalibration(cpus)
-      Attempt(results, buildSec, docCount, perQuery, extTimes, hw, hwMem)
+      // the dirty-window floor (minMem32) is a 32-THREAD number; at any
+      // other cpus the same-width calibration is always far below it and
+      // the rerun loop would burn every retry on a clean window — gate
+      // on an explicit 32-thread measurement instead (this JVM is never
+      // processor-pinned; only forked scaling children are)
+      val hwMem32 = if (cpus == 32) hwMem else memCalibration(32)
+      Attempt(results, buildSec, docCount, perQuery, extTimes, hw, hwMem, hwMem32)
     }
 
     // rerun the WHOLE measured section when the post-run calibration says
@@ -506,13 +512,13 @@ object Bench {
     var reruns = 0
     try {
       best = measureOnce()
-      while (best.hwMem < minMem32 && reruns < maxReruns) {
+      while (best.hwMem32 < minMem32 && reruns < maxReruns) {
         System.err.println(f"[bench] post-run calibration dirty " +
-          f"(hwMemPerSec=${best.hwMem}%.0f < $minMem32%.0f) — rerunning " +
+          f"(mem32=${best.hwMem32}%.0f < $minMem32%.0f) — rerunning " +
           f"(${reruns + 1}/$maxReruns)")
         Thread.sleep(calSleepMs)
         val next = measureOnce()
-        if (next.hwMem > best.hwMem) best = next
+        if (next.hwMem32 > best.hwMem32) best = next
         reruns += 1
       }
     } finally {
@@ -529,7 +535,7 @@ object Bench {
     val total = results.values.sum
 
     val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":${best.docCount},"buildDocsPerSec":${best.docCount / best.buildSec}%.1f,"queryP50":$p50%.4f,"queryP99":$p99%.4f,"extP50":$extP50%.4f,"extP99":$extP99%.4f,"hwUnitsPerSec":${best.hw}%.1f,"hwMemPerSec":${best.hwMem}%.1f,"calPreCpuRatio":$calCpuR%.4f,"calPreMemRatio":$calMemR%.4f,"calPreMem32":$calMem32%.1f,"calPreClean":$calOk,"calPreRetries":$calTries,"benchReruns":$reruns,"cpus":$cpus,"repeat":$repeat}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":${best.docCount},"buildDocsPerSec":${best.docCount / best.buildSec}%.1f,"queryP50":$p50%.4f,"queryP99":$p99%.4f,"extP50":$extP50%.4f,"extP99":$extP99%.4f,"hwUnitsPerSec":${best.hw}%.1f,"hwMemPerSec":${best.hwMem}%.1f,"hwMem32PostRun":${best.hwMem32}%.1f,"calPreCpuRatio":$calCpuR%.4f,"calPreMemRatio":$calMemR%.4f,"calPreMem32":$calMem32%.1f,"calPreClean":$calOk,"calPreRetries":$calTries,"benchReruns":$reruns,"cpus":$cpus,"repeat":$repeat}""")
     spark.stop()
   }
 }

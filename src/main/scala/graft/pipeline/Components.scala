@@ -43,7 +43,42 @@ object Components {
                           maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    // Reliable materialization is a parquet round-robin under
+    // checkpointDir, NOT Dataset.checkpoint: reliable checkpoint files
+    // are never cleaned during the job (unpersist is a no-op for them),
+    // so O(log² n) rounds would hold rounds × |edges| on the store.
+    // Here round i's write consumes round i−1's frame, after which
+    // round i−1's files are deleted — storage is bounded by TWO rounds'
+    // edges, and only the FINAL round's files (which back the returned
+    // frame) outlive the call; the caller owns the directory.
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    var roundSeq = 0
+    var prevPath: Option[String] = None
+    def materialize(df: DataFrame): (DataFrame, (Long, String)) = {
+      val cut = checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/cc-$runTag-r$roundSeq"
+          roundSeq += 1
+          df.write.mode("overwrite").parquet(path)
+          val back = spark.read.parquet(path)
+          prevPath.foreach { old =>
+            val hp = new org.apache.hadoop.fs.Path(old)
+            hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(hp, true)
+          }
+          prevPath = Some(path)
+          back
+        case None => df.localCheckpoint(eager = true)
+      }
+      // hash sum in decimal(38,0): 64-bit row hashes summed as Long
+      // would overflow under ANSI arithmetic
+      val row = cut.agg(
+        count(lit(1)).cast("long"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (cut, (row.getLong(0), String.valueOf(row.getDecimal(1))))
+    }
 
     // canonical undirected edge set: u > v, self-loops dropped
     var e = pairs
@@ -52,7 +87,7 @@ object Components {
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
       .distinct()
-    val eMat = materialize(e, checkpointDir.isDefined)
+    val eMat = materialize(e)
     e = eMat._1
     var sig: (Long, String) = eMat._2
 
@@ -81,7 +116,7 @@ object Components {
         .filter(col("u") =!= col("v"))
         .distinct()
 
-      val mat = materialize(ss, checkpointDir.isDefined)
+      val mat = materialize(ss)
       e.unpersist()
       e = mat._1
       converged = mat._2 == sig
@@ -108,22 +143,6 @@ object Components {
     val nodes = documents.select(col("doc_id").cast("long").as("id"))
     connectedComponents(pairs, nodes)
       .withColumnRenamed("id", "doc_id")
-  }
-
-  /** Materialize one round's edge set (cutting lineage) and return it
-    * with an order-independent content signature for the convergence
-    * test: (row count, sum of 64-bit row hashes) — O(1) to the driver. */
-  private def materialize(df: DataFrame, reliable: Boolean): (DataFrame, (Long, String)) = {
-    val cut =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    // hash sum in decimal(38,0): 64-bit row hashes summed as Long would
-    // overflow under ANSI arithmetic
-    val row = cut.agg(
-      count(lit(1)).cast("long"),
-      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head()
-    (cut, (row.getLong(0), String.valueOf(row.getDecimal(1))))
   }
 
   /** In-memory union-find oracle for the randomized spec. */

@@ -53,13 +53,19 @@ object MultiModal {
       var i = 2
       while (i + 9 < p.length) {
         if (u8(i) != 0xFF) return None // desynced — not a valid stream
-        val m = u8(i + 1)
-        val isSof = (m >= 0xC0 && m <= 0xCF) &&
-          m != 0xC4 && m != 0xC8 && m != 0xCC
-        if (isSof)
-          return Some(ImageMeta("jpeg", be16(i + 7), be16(i + 5), u8(i + 9)))
-        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
-        else i += 2 + be16(i + 2)
+        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        // marker code — skip them rather than reading a bogus length
+        if (u8(i + 1) == 0xFF) { i += 1 }
+        else {
+          val m = u8(i + 1)
+          val isSof = (m >= 0xC0 && m <= 0xCF) &&
+            m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (isSof)
+            return Some(ImageMeta("jpeg", be16(i + 7), be16(i + 5), u8(i + 9)))
+          // standalone (no length segment): SOI, RSTn, TEM
+          if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) i += 2
+          else i += 2 + be16(i + 2)
+        }
       }
       None
     } else None

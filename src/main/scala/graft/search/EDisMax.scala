@@ -118,7 +118,7 @@ object EDisMax {
     *        Additive combine order is pinned: s = Σts, then pf/pf2/pf3
     *        (each field in list order, grams left to right), then bq
     *        in list order, then bf. */
-  def topK(fields: Seq[(IndexView, Double)], p: Parsed, k: Int = 10,
+  def topK(fields: Seq[(IndexView, Double)], p0: Parsed, k: Int = 10,
            tie: Double = 0.0,
            bf: Option[org.apache.spark.sql.Column] = None,
            pf: Seq[(IndexView, Double)] = Nil,
@@ -127,6 +127,17 @@ object EDisMax {
            bq: Seq[(String, Double)] = Nil,
            bfCap: Int = BfPushdownCap): DataFrame = {
     require(fields.nonEmpty, "edismax needs at least one qf field")
+    // re-establish parse()'s invariant (deduped lists, should disjoint
+    // from must, mm within the optional count) on caller-BUILT Parsed
+    // values too: the single-pass kernel folds termTs once per list
+    // entry, so a term in both must and should would double-count there
+    // while the general plan scores each distinct (term, doc) once
+    val p = {
+      val must = p0.must.distinct
+      val should = p0.should.distinct.filterNot(must.contains)
+      Parsed(must, should, p0.mustNot.distinct,
+        math.max(0, math.min(p0.mmCount, should.length)), p0.positional)
+    }
     val spark = fields.head._1.spark
     val scoredTerms = p.must ++ p.should
     require(scoredTerms.nonEmpty, "edismax needs at least one positive term")
@@ -422,11 +433,6 @@ object EDisMax {
     val dlqBs = idxs.map(_.dlqBroadcast().get).toArray
     val avgdl: Array[Double] =
       idxs.map(i => i.stats.sumTotalTermFreq.toDouble / i.stats.docCount).toArray
-    val idfs: Array[Map[String, Double]] = idxs.zipWithIndex.map { case (i, f) =>
-      val n = i.stats.docCount
-      dfs(f).map { case (t, df) =>
-        t -> math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5)) }
-    }.toArray
     val urls = qf.head._1.urlMap().get
     // a must term absent from EVERY qf field's dictionary is
     // unsatisfiable
@@ -453,8 +459,17 @@ object EDisMax {
       mine.toSeq.filter(dfs(f).contains)
     }
     if (scanTerms.forall(_.isEmpty)) return empty
+    // idf for the SCAN terms only — never a full-dictionary map per
+    // query (a 10^6-term warm field would pay O(|dict|) log() calls on
+    // the hot path for a handful of needed entries)
     val idfSlice: Array[Map[String, Double]] =
-      Array.tabulate(nIdx)(f => scanTerms(f).map(t => t -> idfs(f)(t)).toMap)
+      Array.tabulate(nIdx) { f =>
+        val n = idxs(f).stats.docCount.toDouble
+        scanTerms(f).map { t =>
+          val df = dfs(f)(t)
+          t -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        }.toMap
+      }
     val positions: org.apache.spark.sql.Dataset[(Int, Long, String, Seq[Int])] =
       idxs.toSeq.zipWithIndex.collect {
         case (i, f) if scanTerms(f).nonEmpty =>

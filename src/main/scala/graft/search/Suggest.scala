@@ -153,8 +153,14 @@ object Suggest {
       else {
         val g = q.substring(0, math.min(q.length, maxG))
         val base = table.filter(col("gram") === g)
-        // residual for queries past the gram cap: true containment
-        if (q.length <= maxG) base else base.filter(col("term").contains(q))
+        // residual for queries past the gram cap: true containment —
+        // and the stored edge flag (term starts with the GRAM) must be
+        // recomputed against the full query, or a term starting with
+        // q's first maxG chars but containing q only later would rank
+        // as a prefix match in the blended sort
+        if (q.length <= maxG) base
+        else base.filter(col("term").contains(q))
+          .withColumn("edge", col("term").startsWith(q))
       }
     // a term can match via several gram positions when q < minGram:
     // collapse to its best (edge-first) row

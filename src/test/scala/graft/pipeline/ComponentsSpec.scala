@@ -53,6 +53,20 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L))
   }
 
+  test("reliable checkpointDir mode: same result, only the last round's files survive") {
+    val dir = java.nio.file.Files.createTempDirectory("ccckpt").toString
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    val nodes = (0L to 5L).toDF("id")
+    val got = Components
+      .connectedComponents(pairs, nodes, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+    // prior rounds were deleted as soon as the next one materialized
+    val rounds = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("cc-"))
+    assert(rounds.length == 1, rounds.map(_.getName).mkString(","))
+  }
+
   test("nearDupComponents: exact copies + a bridge doc cluster together") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -132,6 +132,41 @@ class TransformSpec extends SparkSpec {
     }
   }
 
+  test("infix suggester: containment matches, blended edge-first sort, long-query residual") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = s"/tmp/graft-test-suggest-infix-${System.nanoTime()}"
+    val entries = Seq(
+      ("sparkline", 50L), ("sparklinq_sparkline", 99L), ("brightspark", 80L),
+      ("spark", 70L), ("park", 10L), ("lines", 5L))
+      .toDF("term", "weight")
+    Suggest.buildSuggestIndex(entries, dir, minGram = 2, maxGram = 4,
+      infix = true)
+    try {
+      def lookup(q: String) = Suggest.suggestInfix(spark, dir, q, 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+      // oracle over the raw entries: containment + blended sort
+      def oracle(q: String) = Seq(
+        ("sparkline", 50L), ("sparklinq_sparkline", 99L), ("brightspark", 80L),
+        ("spark", 70L), ("park", 10L), ("lines", 5L))
+        .filter(_._1.contains(q))
+        .map { case (t, w) => (t, w, t.startsWith(q)) }
+        .sortBy { case (t, w, e) => (!e, -w, t) }
+      for (q <- Seq("pa", "park", "spark", "line",
+                    "sparkline", "sparklinq_s")) // last two exceed maxGram=4
+        assert(lookup(q) === oracle(q), s"q='$q'")
+      // the residual case the gate can't see: a term starting with q's
+      // first maxGram chars but containing q only later must NOT carry
+      // the edge flag ("sparklinq_sparkline" vs q="sparkline")
+      val res = lookup("sparkline").map { case (t, _, e) => t -> e }.toMap
+      assert(res("sparkline") && !res("sparklinq_sparkline"))
+    } finally {
+      import java.nio.file.{Files, Paths}
+      Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+
   test("term vectors match a driver re-analysis of stored text") {
     val pred = element_at(split(col("url"), "/"), -1).cast("long") < 5
     val tv = TermVectors.forDocs(idx, pred).collect()
