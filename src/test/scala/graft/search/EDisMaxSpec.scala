@@ -219,6 +219,39 @@ class EDisMaxSpec extends SparkSpec {
     both("spark spark merge", "100%")                       // duplicate tokens
   }
 
+  test("kernel ≡ general plan on randomized caller-built Parsed (incl. must∩should overlap)") {
+    // bypasses parse(): raw Parsed values with duplicate lists, terms in
+    // BOTH must and should, and mm counts beyond the optional-clause
+    // count — topK's normalization must make both plans see the same
+    // invariant, or the kernel double-counts the overlapping term
+    val general: graft.index.IndexView = new graft.index.IndexView {
+      def spark = textIdx.spark
+      def stats = textIdx.stats
+      def postings = textIdx.postings
+      def docs = textIdx.docs
+      def termStats = textIdx.termStats
+    }
+    val pool = Vector("spark", "merge", "data", "sort", "window", "zzzabsent")
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 12) {
+      def pick(n: Int) = Seq.fill(n)(pool(rnd.nextInt(pool.length)))
+      val must = pick(rnd.nextInt(2))
+      val overlap = if (must.nonEmpty && rnd.nextBoolean()) must.take(1) else Nil
+      val should = pick(1 + rnd.nextInt(3)) ++ overlap
+      val mustNot = pick(rnd.nextInt(2))
+        .filterNot(t => must.contains(t) || should.contains(t))
+      val mm = rnd.nextInt(should.length + 2)
+      val p = EDisMax.Parsed(must, should, mustNot, mm, (must ++ should).distinct)
+      val pf2 = if (rnd.nextBoolean()) Seq(textIdx -> 0.4) else Nil
+      val viaKernel = EDisMax.topK(Seq(textIdx -> 1.0), p, 10, pf2 = pf2)
+        .collect().toSeq
+      val viaGeneral = EDisMax.topK(Seq(general -> 1.0), p, 10,
+        pf2 = pf2.map { case (_, b) => (general, b) }).collect().toSeq
+      assert(viaKernel === viaGeneral,
+        s"trial $trial: must=$must should=$should mustNot=$mustNot mm=$mm")
+    }
+  }
+
   test("multi-field kernel ≡ general plan across query shapes") {
     // force the general plan by wrapping ONE field as a plain
     // IndexView (kernel eligibility requires every field warm)
